@@ -1,0 +1,23 @@
+# Build the native (C++) host library and run the test-suite.
+#
+# The native library is optional: everything falls back to NumPy when it is
+# absent. `make native` produces bblean_tpu/csrc/build/libbblean_native.so.
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -std=c++17 -fPIC -shared -march=native -funroll-loops
+SRC := bblean_tpu/csrc/bblean_native.cpp
+OUT := bblean_tpu/csrc/build/libbblean_native.so
+
+.PHONY: native test clean
+
+native: $(OUT)
+
+$(OUT): $(SRC)
+	mkdir -p $(dir $(OUT))
+	$(CXX) $(CXXFLAGS) -o $(OUT) $(SRC)
+
+test:
+	python -m pytest tests/ -x -q
+
+clean:
+	rm -rf bblean_tpu/csrc/build

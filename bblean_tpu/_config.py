@@ -1,0 +1,65 @@
+r"""Global defaults and run-metadata collection.
+
+Parity notes: mirrors the reference ``bblean/_config.py`` (CLI defaults
+``_config.py:22-34``, ``collect_system_specs_and_dump_config`` ``:39-61``),
+extended with TPU device/backend info.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import multiprocessing as mp
+import os
+import sys
+import typing as tp
+from copy import deepcopy
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass(slots=True)
+class BitBirchConfig:
+    threshold: float = 0.30
+    branching_factor: int = 254
+    merge_criterion: str = "diameter"
+    refine_merge_criterion: str = "tolerance-diameter"
+    refine_threshold_change: float = 0.0
+    tolerance: float = 0.05
+    n_features: int = 2048
+    fp_kind: str = "ecfp4"
+
+
+DEFAULTS = BitBirchConfig()
+
+TSNE_SEED = 42
+
+
+def collect_system_specs_and_dump_config(config: dict[str, tp.Any]) -> None:
+    r"""Dump ``config.json`` into the run dir, annotated with system specs."""
+    from bblean_tpu._memory import system_mem_gib
+    from bblean_tpu.utils import (
+        _cpu_name,
+        _tpu_device_names,
+        native_extensions_are_enabled,
+        native_extensions_are_installed,
+    )
+
+    config = deepcopy(config)
+    config_path = Path(config["out_dir"]) / "config.json"
+    total_mem, avail_mem = system_mem_gib()
+    config["native_extensions_enabled"] = native_extensions_are_enabled()
+    config["native_extensions_installed"] = native_extensions_are_installed()
+    config["total_memory_gib"] = total_mem
+    config["initial_available_memory_gib"] = avail_mem
+    config["platform"] = sys.platform
+    config["cpu"] = _cpu_name()
+    config["accelerators"] = _tpu_device_names()
+    config["numpy_version"] = np.__version__
+    config["python_version"] = sys.version.split()[0]
+    if config.get("num_processes", 1) > 1:
+        config["multiprocessing_start_method"] = mp.get_start_method()
+        config["visible_cpu_cores"] = os.cpu_count()
+    with open(config_path, mode="wt", encoding="utf-8") as f:
+        json.dump(config, f, indent=4)
