@@ -2,15 +2,19 @@ r"""Test configuration.
 
 Tests run on a virtual 8-device CPU mesh so that the multi-device sharded
 paths can be exercised without TPU pod hardware (the same strategy the driver
-uses for ``dryrun_multichip``).  These env vars must be set before JAX is
-first imported anywhere in the test process.
+uses for ``dryrun_multichip``).
+
+Note: this environment force-registers a TPU PJRT plugin and pins
+``JAX_PLATFORMS=axon`` at interpreter start, so the env var alone is not
+enough — ``jax.config.update("jax_platforms", "cpu")`` after import is what
+actually re-pins tests to CPU.  XLA_FLAGS must still be set before the CPU
+client is first created.
 """
 
 import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +22,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,160 @@
+r"""Batched TPU engine tests: invariants, near-serial agreement, determinism,
+capacity growth, and buffer mode."""
+
+import numpy as np
+import pytest
+
+from bblean_tpu import BitBirch
+from bblean_tpu._np_similarity import jt_isim_from_sum
+from bblean_tpu.engine.batch import BatchTree
+from bblean_tpu.fingerprints import make_fake_fingerprints, unpack_fingerprints
+
+SEED = 12620509540149709235
+
+
+def _fit_batch(fps_unpacked, threshold, criterion="diameter", **kw):
+    tree = BatchTree(
+        fps_unpacked.shape[1],
+        threshold=threshold,
+        merge_criterion=criterion,
+        batch_size=kw.pop("batch_size", 256),
+        initial_capacity=kw.pop("initial_capacity", 1024),
+        centroid_block=kw.pop("centroid_block", 512),
+        **kw,
+    )
+    tree.insert_fps(fps_unpacked, range(len(fps_unpacked)))
+    return tree
+
+
+def test_all_mols_assigned_once() -> None:
+    fps = make_fake_fingerprints(600, seed=SEED, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    mols = tree.cluster_mols()
+    flat = sorted(i for c in mols for i in c)
+    assert flat == list(range(600))
+    assert tree.cluster_sizes().sum() == 600
+    assert all(
+        len(m) == s for m, s in zip(mols, tree.cluster_sizes())
+    )
+
+
+def test_diameter_cohesion_invariant() -> None:
+    r"""Every committed cluster must satisfy isim >= threshold (diameter)."""
+    threshold = 0.3
+    fps = make_fake_fingerprints(800, seed=SEED, pack=False)
+    tree = _fit_batch(fps, threshold)
+    for ls, n in zip(tree.linear_sums(), tree.cluster_sizes()):
+        if n >= 2:
+            assert jt_isim_from_sum(ls.astype(np.uint64), int(n)) >= threshold - 1e-6
+
+
+def test_linear_sums_consistent_with_members() -> None:
+    fps = make_fake_fingerprints(400, seed=SEED, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    mols = tree.cluster_mols()
+    for ls, members in zip(tree.linear_sums(), mols):
+        assert (ls == fps[members].sum(0)).all()
+
+
+def test_determinism() -> None:
+    fps = make_fake_fingerprints(500, seed=SEED, pack=False)
+    a = _fit_batch(fps, 0.3)
+    b = _fit_batch(fps, 0.3)
+    assert a.cluster_mols() == b.cluster_mols()
+
+
+def test_capacity_growth() -> None:
+    # High threshold on random fps -> nearly all singletons -> forced growth
+    fps = make_fake_fingerprints(700, seed=3, pack=False)
+    tree = BatchTree(
+        2048, threshold=0.95, batch_size=128, initial_capacity=256,
+        centroid_block=128,
+    )
+    tree.insert_fps(fps, range(700))
+    assert tree.num_clusters > 600
+    assert tree.capacity >= tree.num_clusters
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(700))
+
+
+def test_near_serial_agreement() -> None:
+    r"""Batch labels are not bit-identical to serial, but cluster statistics
+    must land close (same data, same criterion)."""
+    fps_packed = make_fake_fingerprints(1000, seed=SEED)
+    fps = unpack_fingerprints(fps_packed)
+    exact = BitBirch(threshold=0.3).fit(fps_packed)
+    n_exact = len(exact.get_cluster_mol_ids())
+    batch = _fit_batch(fps, 0.3)
+    # The batch engine's in-group search is less fragmenting than the serial
+    # tree's greedy descent (which scatters genuinely-cohesive dense fps
+    # across leaves), so it finds the same or fewer clusters at equal or
+    # better cohesion; counts must stay in the same regime
+    n_batch = batch.num_clusters
+    assert n_batch <= n_exact * 1.1
+    assert n_batch >= n_exact * 0.5
+    # Quality parity: sample-weighted mean cluster iSIM within 2% of serial
+    def weighted_isim(sums, counts):
+        tot = w = 0.0
+        for ls, n in zip(sums, counts):
+            if n >= 2:
+                tot += n * jt_isim_from_sum(np.asarray(ls, np.uint64), int(n))
+                w += n
+        return tot / max(w, 1.0)
+
+    ex_ids = exact.get_cluster_mol_ids()
+    w_exact = weighted_isim(
+        [fps[c].sum(0) for c in ex_ids], [len(c) for c in ex_ids]
+    )
+    w_batch = weighted_isim(batch.linear_sums(), batch.cluster_sizes())
+    assert w_batch >= w_exact - 0.02
+
+
+def test_buffer_mode_merge() -> None:
+    r"""Re-inserting one tree's CF buffers into a fresh batch tree keeps
+    members together and sums consistent (the sharded-merge path)."""
+    fps = make_fake_fingerprints(300, seed=SEED, pack=False)
+    first = _fit_batch(fps, 0.3)
+    bufs = np.concatenate(
+        [first.linear_sums(), first.cluster_sizes()[:, None]], axis=1
+    )
+    second = BatchTree(
+        2048, threshold=0.3, batch_size=128, initial_capacity=512,
+        centroid_block=128,
+    )
+    second.insert_buffers(bufs, first.cluster_mols())
+    assert second.num_clusters <= first.num_clusters
+    flat = sorted(i for c in second.cluster_mols() for i in c)
+    assert flat == list(range(300))
+    for ls, members in zip(second.linear_sums(), second.cluster_mols()):
+        assert (ls == fps[members].sum(0)).all()
+
+
+def test_never_merge_all_singletons() -> None:
+    fps = make_fake_fingerprints(100, seed=1, pack=False)
+    tree = BatchTree(
+        2048, threshold=0.0, merge_criterion="never-merge",
+        batch_size=64, initial_capacity=256, centroid_block=64,
+    )
+    tree.insert_fps(fps, range(100))
+    assert tree.num_clusters == 100
+    assert (tree.cluster_sizes() == 1).all()
+
+
+def test_identical_fps_one_cluster() -> None:
+    fps = np.tile(
+        make_fake_fingerprints(1, seed=5, pack=False), (50, 1)
+    )
+    tree = _fit_batch(fps, 0.65)
+    assert tree.num_clusters == 1
+    assert tree.cluster_sizes()[0] == 50
+
+
+def test_packed_centroids_match_majority() -> None:
+    fps = make_fake_fingerprints(200, seed=SEED, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    from bblean_tpu._np_similarity import centroid_from_sum
+
+    cents = tree.packed_centroids()
+    for i, (ls, n) in enumerate(zip(tree.linear_sums(), tree.cluster_sizes())):
+        expect = centroid_from_sum(ls.astype(np.uint64), int(n), pack=True)
+        assert (cents[i] == expect).all()
