@@ -3,38 +3,40 @@ r"""TPU-native level-synchronous batched BitBirch engine.
 This is the performance path of the framework — the structural re-design of
 the reference's pointer-chasing recursive insert (``bblean/bitbirch.py:305-357``)
 for TPU hardware.  The CF-tree is flattened to **depth 2** and stored as flat
-device arrays:
+device tables:
 
-- **groups** (the analogue of the reference's internal-node entries): CF
-  tables ``(G, F)`` holding the aggregate linear sum / count / majority
-  centroid of all clusters under them;
-- **clusters** (the leaf subclusters): CF tables ``(C, F)`` plus a
-  ``cluster_group`` id vector tying each cluster to its group.
+- **groups** (the analogue of internal-node entries): a routing table of
+  group majority centroids ``(G, F) bf16`` searched with one MXU matmul per
+  round, plus group CF aggregates;
+- **clusters** (the leaf subclusters): flat CF tables ``ls (C, F) int32`` /
+  ``n (C,)`` plus **per-group packed-centroid tiles** ``(G, Fc, F/8) uint8``
+  — the in-group candidate set a routed row actually scores, with AND +
+  ``lax.population_count`` on the VPU.  A row therefore touches
+  ``G*F`` (MXU) + ``Fc*F/8`` (VPU) work per round instead of ``C*F``:
+  the depth-2 analogue of the tree's O(log) search, with both levels batched.
 
 Each jitted round of a batch step:
 
-1. routes every row to a group by argmax Tanimoto over group centroids (one
-   MXU matmul) — the batched analogue of the recursive descent;
-2. searches only the clusters *of that group* (full-table matmul with an
-   in-group mask; block-sparse search is the planned optimization) — the
-   analogue of the leaf-node argmax;
-3. batch-evaluates the merge criterion, committing whole conflict groups when
+1. routes every row to a group (MXU argmax over group centroids);
+2. scores the routed group's centroid tile (VPU packed Tanimoto) -> best
+   cluster candidate;
+3. batch-evaluates the merge criterion; commits whole conflict groups when
    the merged CF still satisfies the criterion, else only the lowest-index
-   row (serial order), and
-4. runs a per-group leader election so mutually-similar rejected rows open
-   one shared new cluster instead of M duplicates.  Rows that lose retry next
-   round against the updated state until the batch drains.
+   row (serial order);
+4. elects leaders among rejected rows per routed group, so mutually-similar
+   rows open one shared new cluster; creations take tile positions in
+   per-group insertion order and pend when the tile is full.
 
-Topology changes run on **host between steps** (the control plane): a group
-whose cluster count exceeds the fan-out limit is split by the same
-most-dissimilar-pair partition the reference uses for node splits
-(``bblean/bitbirch.py:162-211``), implemented over cluster centroids with the
-host kernels.  This keeps all data-plane math static-shaped and jittable
-while the (rare, cheap) data-dependent restructuring stays in NumPy.
+Rows that lose a conflict or hit a full tile retry next round; whatever is
+still unassigned after ``max_rounds`` is returned to the **host control
+plane**, which splits oversized groups (balanced most-dissimilar-seed
+partition over member centroids — reference split: ``bitbirch.py:162-211``)
+and re-queues the rows.  All data-plane math is static-shaped and jittable;
+topology restructuring is rare, cheap NumPy.
 
-Without the depth-2 locality a flat global argmax degenerates at low
-thresholds into a few giant just-above-threshold clusters; the grouped
-search reproduces the serial tree's cluster-size structure.
+Rows are uploaded to HBM once in packed form and unpacked on device
+(``fit_packed`` path) — host->device bandwidth through this environment's
+tunnel is ~10 MB/s, so per-batch int32 uploads would dominate otherwise.
 
 Semantics: same merge criteria, thresholds and CF arithmetic as the exact
 engine, evaluated in float32 on device.  Labels are near-serial but not
@@ -64,6 +66,7 @@ from bblean_tpu._np_similarity import (
 )
 from bblean_tpu.ops.isim import majority_centroid_from_sums
 from bblean_tpu.ops.merges import merge_accept_batch
+from bblean_tpu.ops.packing import pack_fingerprints_device, unpack_fingerprints_device
 
 __all__ = ["BatchTree", "BatchState"]
 
@@ -73,30 +76,38 @@ _NEG = -2.0  # below any similarity
 class BatchState(tp.NamedTuple):
     r"""Device-side depth-2 CF-tree (capacity-padded flat tables)."""
 
-    # Leaf clusters
+    # Leaf clusters (flat)
     ls: Array  # (C_cap, F) int32 linear sums
     n: Array  # (C_cap,) int32 sizes (0 = empty slot)
-    cent: Array  # (C_cap, F) bfloat16 majority centroids (0/1)
-    pops: Array  # (C_cap,) int32 centroid popcounts
     group: Array  # (C_cap,) int32 owning group id
+    pos: Array  # (C_cap,) int32 position within the group tile
     num: Array  # () int32 live clusters
-    # Groups (internal level)
+    # Per-group packed-centroid tiles (the in-group search set)
+    t_pk: Array  # (G_cap, Fc, F8) uint8 packed centroids
+    t_pops: Array  # (G_cap, Fc) int32 centroid popcounts
+    t_slot: Array  # (G_cap, Fc) int32 cluster slot per cell (-1 empty)
+    # Groups (routing level)
     g_ls: Array  # (G_cap, F) int32
-    g_n: Array  # (G_cap,) int32 total samples under the group
-    g_cent: Array  # (G_cap, F) bfloat16
+    g_n: Array  # (G_cap,) int32 samples under the group
+    g_cent: Array  # (G_cap, F) bfloat16 routing centroids
     g_pops: Array  # (G_cap,) int32
     g_count: Array  # (G_cap,) int32 clusters in the group
     g_num: Array  # () int32 live groups
 
 
-def _init_state(capacity: int, g_capacity: int, n_features: int) -> BatchState:
+def _init_state(
+    capacity: int, g_capacity: int, tile: int, n_features: int
+) -> BatchState:
+    f8 = (n_features + 7) // 8
     return BatchState(
         ls=jnp.zeros((capacity, n_features), dtype=jnp.int32),
         n=jnp.zeros((capacity,), dtype=jnp.int32),
-        cent=jnp.zeros((capacity, n_features), dtype=jnp.bfloat16),
-        pops=jnp.zeros((capacity,), dtype=jnp.int32),
         group=jnp.zeros((capacity,), dtype=jnp.int32),
+        pos=jnp.zeros((capacity,), dtype=jnp.int32),
         num=jnp.zeros((), dtype=jnp.int32),
+        t_pk=jnp.zeros((g_capacity, tile, f8), dtype=jnp.uint8),
+        t_pops=jnp.zeros((g_capacity, tile), dtype=jnp.int32),
+        t_slot=jnp.full((g_capacity, tile), -1, dtype=jnp.int32),
         g_ls=jnp.zeros((g_capacity, n_features), dtype=jnp.int32),
         g_n=jnp.zeros((g_capacity,), dtype=jnp.int32),
         g_cent=jnp.zeros((g_capacity, n_features), dtype=jnp.bfloat16),
@@ -112,10 +123,14 @@ def _grow_state(state: BatchState, new_c: int, new_g: int) -> BatchState:
     return BatchState(
         ls=jnp.pad(state.ls, ((0, pad_c), (0, 0))),
         n=jnp.pad(state.n, (0, pad_c)),
-        cent=jnp.pad(state.cent, ((0, pad_c), (0, 0))),
-        pops=jnp.pad(state.pops, (0, pad_c)),
         group=jnp.pad(state.group, (0, pad_c)),
+        pos=jnp.pad(state.pos, (0, pad_c)),
         num=state.num,
+        t_pk=jnp.pad(state.t_pk, ((0, pad_g), (0, 0), (0, 0))),
+        t_pops=jnp.pad(state.t_pops, ((0, pad_g), (0, 0))),
+        t_slot=jnp.pad(
+            state.t_slot, ((0, pad_g), (0, 0)), constant_values=-1
+        ),
         g_ls=jnp.pad(state.g_ls, ((0, pad_g), (0, 0))),
         g_n=jnp.pad(state.g_n, (0, pad_g)),
         g_cent=jnp.pad(state.g_cent, ((0, pad_g), (0, 0))),
@@ -125,32 +140,26 @@ def _grow_state(state: BatchState, new_c: int, new_g: int) -> BatchState:
     )
 
 
-def _masked_tanimoto_best(
+def _route_groups(
     row_cent: Array,  # (M, F) bf16
     row_pop: Array,  # (M,) int32
-    cent: Array,  # (C, F) bf16
-    pops: Array,  # (C,) int32
-    col_live: tp.Callable[[Array], Array],  # (cols) -> bool mask
-    row_ok: Array,  # (M,) bool rows to score at all
+    g_cent: Array,  # (G_cap, F) bf16
+    g_pops: Array,  # (G_cap,) int32
+    g_num: Array,  # ()
+    pending: Array,  # (M,) bool
     block: int,
-    extra_col_mask: tp.Callable[[Array], Array] | None = None,
-    row_col_mask: tp.Callable[[Array], Array] | None = None,
-) -> tuple[Array, Array]:
-    r"""Tiled masked argmax Tanimoto of rows vs columns (MXU per block).
-
-    ``row_col_mask(cols)`` may provide a per-(row, column-block) mask of shape
-    (M, block).  Returns (best_sim, best_idx) with best_sim = -2 where no
-    column qualifies.
-    """
+) -> Array:
+    r"""Argmax Tanimoto over live group centroids (tiled MXU matmul)."""
     m = row_cent.shape[0]
-    c = cent.shape[0]
-    n_blocks = c // block
+    g_cap = g_cent.shape[0]
+    block = min(block, g_cap)
+    n_blocks = g_cap // block
 
     def body(b, carry):
         best_sim, best_idx = carry
         start = b * block
-        cb = lax.dynamic_slice_in_dim(cent, start, block, axis=0)
-        pb = lax.dynamic_slice_in_dim(pops, start, block, axis=0)
+        cb = lax.dynamic_slice_in_dim(g_cent, start, block, axis=0)
+        pb = lax.dynamic_slice_in_dim(g_pops, start, block, axis=0)
         inter = lax.dot_general(
             row_cent, cb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -158,10 +167,7 @@ def _masked_tanimoto_best(
         union = (row_pop[:, None] + pb[None, :]).astype(jnp.float32) - inter
         sims = inter / jnp.maximum(union, 1.0)
         cols = start + lax.broadcasted_iota(jnp.int32, (m, block), 1)
-        mask = col_live(cols) & row_ok[:, None]
-        if row_col_mask is not None:
-            mask = mask & row_col_mask(cols)
-        sims = jnp.where(mask, sims, _NEG)
+        sims = jnp.where((cols < g_num) & pending[:, None], sims, _NEG)
         blk_best = jnp.max(sims, axis=1)
         blk_idx = start + jnp.argmax(sims, axis=1).astype(jnp.int32)
         take = blk_best > best_sim
@@ -171,15 +177,46 @@ def _masked_tanimoto_best(
         )
 
     init = (jnp.full((m,), _NEG, jnp.float32), jnp.zeros((m,), jnp.int32))
-    return lax.fori_loop(0, n_blocks, body, init)
+    _, best = lax.fori_loop(0, n_blocks, body, init)
+    return jnp.where(pending, best, 0)
+
+
+def _search_tiles(
+    row_pk: Array,  # (M, F8) uint8
+    row_pop: Array,  # (M,) int32
+    row_group: Array,  # (M,) int32
+    t_pk: Array,  # (G_cap, Fc, F8) uint8
+    t_pops: Array,  # (G_cap, Fc) int32
+    t_slot: Array,  # (G_cap, Fc) int32
+    pending: Array,  # (M,) bool
+) -> tuple[Array, Array]:
+    r"""Packed Tanimoto of each row vs its routed group's centroid tile (VPU).
+
+    Returns (best_sim, best_slot); best_sim = -2 where the tile is empty.
+    """
+    tiles = t_pk[row_group]  # (M, Fc, F8) gather
+    pops = t_pops[row_group]  # (M, Fc)
+    slots = t_slot[row_group]  # (M, Fc)
+    inter = jnp.sum(
+        lax.population_count(
+            jnp.bitwise_and(tiles, row_pk[:, None, :]).astype(jnp.int32)
+        ),
+        axis=-1,
+    )
+    union = pops + row_pop[:, None] - inter
+    sims = inter.astype(jnp.float32) / jnp.maximum(union, 1).astype(jnp.float32)
+    sims = jnp.where((slots >= 0) & pending[:, None], sims, _NEG)
+    best_pos = jnp.argmax(sims, axis=1).astype(jnp.int32)
+    m = row_pk.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    best_sim = sims[rows, best_pos]
+    best_slot = slots[rows, best_pos]
+    return best_sim, jnp.maximum(best_slot, 0)
 
 
 def _group_ids_by_key(key: Array) -> tuple[Array, Array, Array]:
-    r"""Stable grouping of rows by an int key.
-
-    Returns (order, group_of_sorted, is_group_start): ``order`` sorts rows by
-    (key, index); equal keys form one group.
-    """
+    r"""Stable grouping of rows by an int key -> (order, group_of_sorted,
+    is_group_start); equal keys form one group, ordered by row index."""
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
     is_start = jnp.concatenate(
@@ -189,16 +226,22 @@ def _group_ids_by_key(key: Array) -> tuple[Array, Array, Array]:
     return order, group, is_start
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("criterion", "block", "max_rounds"),
-    donate_argnums=(0,),
-)
-def _batch_step(
+def _segment_rank(grp: Array, mask_sorted: Array) -> Array:
+    r"""Rank of each (sorted) row within its segment, counting masked rows."""
+    inc = mask_sorted.astype(jnp.int32)
+    csum = jnp.cumsum(inc)
+    seg_start_csum = jax.ops.segment_min(
+        csum - inc, grp, num_segments=grp.shape[0]
+    )
+    return csum - inc - seg_start_csum[grp]
+
+
+def _batch_step_impl(
     state: BatchState,
     row_ls: Array,  # (M, F) int32
     row_n: Array,  # (M,) int32 (0 rows are padding)
-    row_cent: Array,  # (M, F) bf16
+    row_cent: Array,  # (M, F) bf16 (0/1 values)
+    row_pk: Array,  # (M, F8) uint8 packed centroid
     row_pop: Array,  # (M,) int32
     threshold: Array,  # () f32
     tolerance: Array,  # () f32
@@ -207,36 +250,35 @@ def _batch_step(
     block: int,
     max_rounds: int,
 ) -> tuple[BatchState, Array]:
-    r"""Insert one batch of CF rows; returns (state, assigned slot per row)."""
+    r"""Insert one batch of CF rows.
+
+    Returns (state, assigned slot per row); assigned == -1 marks rows the
+    host must retry after splitting oversized groups.
+    """
     m, _f = row_ls.shape
+    tile = state.t_pk.shape[1]
     big = jnp.int32(1 << 30)
     row_idx = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
-    guard_c = state.ls.shape[0] - 1  # scratch slot for masked scatters
+    guard_c = state.ls.shape[0] - 1  # scratch slot (never live; host keeps free)
+    guard_g = state.g_ls.shape[0] - 1
 
     def cond(carry):
-        _state, pending, _assigned, _rg, r = carry
+        _state, pending, _assigned, r = carry
         return (r < max_rounds) & jnp.any(pending)
 
     def round_body(carry):
-        state, pending, assigned, _last_rg, r = carry
+        state, pending, assigned, r = carry
 
-        # ---- 1. descend: route each row to a group ----
-        _gsim, row_group = _masked_tanimoto_best(
-            row_cent, row_pop, state.g_cent, state.g_pops,
-            col_live=lambda cols: cols < state.g_num,
-            row_ok=pending,
-            block=min(block, state.g_cent.shape[0]),
+        # ---- 1. route rows to groups (MXU) ----
+        row_group = _route_groups(
+            row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
+            pending, block,
         )
-        row_group = jnp.where(pending, row_group, 0)
 
-        # ---- 2. leaf search restricted to the routed group ----
-        cluster_group = state.group
-        best_sim, best = _masked_tanimoto_best(
-            row_cent, row_pop, state.cent, state.pops,
-            col_live=lambda cols: cols < state.num,
-            row_ok=pending,
-            block=block,
-            row_col_mask=lambda cols: cluster_group[cols] == row_group[:, None],
+        # ---- 2. in-group candidate search (VPU over packed tiles) ----
+        best_sim, best = _search_tiles(
+            row_pk, row_pop, row_group, state.t_pk, state.t_pops,
+            state.t_slot, pending,
         )
         has_cand = best_sim > -1.5
 
@@ -257,8 +299,11 @@ def _batch_step(
         s_n = jnp.where(a_ok, row_n[aorder], 0)
         gsum_ls = jax.ops.segment_sum(s_ls, agrp, num_segments=m)
         gsum_n = jax.ops.segment_sum(s_n, agrp, num_segments=m)
-        gcand = jax.ops.segment_max(
-            jnp.where(a_ok, best[aorder], 0), agrp, num_segments=m
+        gcand = jnp.maximum(
+            jax.ops.segment_max(
+                jnp.where(a_ok, best[aorder], 0), agrp, num_segments=m
+            ),
+            0,  # empty segments come back as int32-min
         )
         gvalid = jax.ops.segment_max(
             a_ok.astype(jnp.int32), agrp, num_segments=m
@@ -320,9 +365,32 @@ def _batch_step(
         ) | (gj_n <= 1)
         join_ok = jnp.zeros((m,), bool).at[jorder].set(gj_ok[jgrp])
         join_commit = join & join_ok
+
+        # ---- 5. tile positions for new clusters (per-group, index order);
+        # creations into full tiles open a fresh overflow group so the step
+        # always makes progress (host splits rebalance later) ----
+        ckey = jnp.where(leader, row_group, big)
+        corder, cgrp, _cstart = _group_ids_by_key(ckey)
+        crank_sorted = _segment_rank(cgrp, leader[corder])
+        crank = jnp.zeros((m,), jnp.int32).at[corder].set(crank_sorted)
+        new_pos = state.g_count[row_group] + crank
+        # Creations beyond the tile open fresh groups, packed densely in
+        # chunks of `tile` per routed group (not one group per leader)
+        chunk = new_pos // tile  # 0 = fits the routed group's tile
+        chunk_sorted = jnp.where(leader[corder], chunk[corder], 0)
+        # segment_max fills EMPTY segments with int32-min: clamp to 0
+        seg_new = jnp.maximum(
+            jax.ops.segment_max(chunk_sorted, cgrp, num_segments=m), 0
+        )  # new groups needed per routed-group segment
+        seg_base = jnp.cumsum(seg_new) - seg_new
+        seg_of_row = jnp.zeros((m,), jnp.int32).at[corder].set(cgrp)
+        over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
+        fits = chunk == 0
+        overflow = leader & ~fits
+        tgt_group = jnp.where(fits, row_group, over_group)
+        tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
         create_commit = leader
 
-        # ---- 5. allocate slots for new clusters (ordered by row index) ----
         lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
         new_slot = state.num + lead_rank
         slot_of_row = jnp.where(
@@ -336,31 +404,48 @@ def _batch_step(
         )
         commit = merge_commit | create_commit | join_commit
 
-        # ---- 6. scatter-commit clusters ----
+        # ---- 6. scatter-commit the flat cluster tables ----
         upd_slot = jnp.where(commit, slot_of_row, guard_c)
         add_ls = jnp.where(commit[:, None], row_ls, 0)
         add_n = jnp.where(commit, row_n, 0)
         ls = state.ls.at[upd_slot].add(add_ls)
         n = state.n.at[upd_slot].add(add_n)
         num = state.num + jnp.sum(create_commit.astype(jnp.int32))
-        # New clusters live in the group their row was routed to
+        g_num = state.g_num + jnp.sum(seg_new)
         cg = state.group.at[
             jnp.where(create_commit, new_slot, guard_c)
-        ].set(jnp.where(create_commit, row_group, state.group[guard_c]))
+        ].set(jnp.where(create_commit, tgt_group, state.group[guard_c]))
+        cpos = state.pos.at[
+            jnp.where(create_commit, new_slot, guard_c)
+        ].set(jnp.where(create_commit, tgt_pos, state.pos[guard_c]))
         g_count = state.g_count.at[
-            jnp.where(create_commit, row_group, state.g_ls.shape[0] - 1)
+            jnp.where(create_commit, tgt_group, guard_g)
         ].add(jnp.where(create_commit, 1, 0))
 
+        # ---- 7. refresh packed-centroid tiles of touched clusters ----
         t_ls = ls[upd_slot]
         t_n = n[upd_slot]
-        t_cent = majority_centroid_from_sums(t_ls, t_n).astype(jnp.bfloat16)
-        cent = state.cent.at[upd_slot].set(t_cent)
-        pops = state.pops.at[upd_slot].set(
-            jnp.sum(t_cent.astype(jnp.int32), axis=-1)
+        t_cent = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
+        t_packed = pack_fingerprints_device(t_cent)
+        t_posn = jnp.where(commit, cpos[upd_slot], tile - 1)
+        t_grp = jnp.where(commit, cg[upd_slot], guard_g)
+        t_pk = state.t_pk.at[t_grp, t_posn].set(
+            jnp.where(commit[:, None], t_packed, state.t_pk[t_grp, t_posn])
+        )
+        t_pops = state.t_pops.at[t_grp, t_posn].set(
+            jnp.where(
+                commit,
+                jnp.sum(t_cent.astype(jnp.int32), axis=-1),
+                state.t_pops[t_grp, t_posn],
+            )
+        )
+        ts_g = jnp.where(create_commit, tgt_group, guard_g)
+        ts_p = jnp.where(create_commit, tgt_pos, tile - 1)
+        t_slot = state.t_slot.at[ts_g, ts_p].set(
+            jnp.where(create_commit, new_slot, state.t_slot[ts_g, ts_p])
         )
 
-        # ---- 7. fold committed rows into their group CFs ----
-        guard_g = state.g_ls.shape[0] - 1
+        # ---- 8. fold committed rows into their group CFs ----
         row_g_slot = jnp.where(commit, cg[upd_slot], guard_g)
         g_ls = state.g_ls.at[row_g_slot].add(add_ls)
         g_n = state.g_n.at[row_g_slot].add(add_n)
@@ -375,66 +460,156 @@ def _batch_step(
         assigned = jnp.where(commit, slot_of_row, assigned)
         pending = pending & ~commit
         new_state = BatchState(
-            ls, n, cent, pops, cg, num,
-            g_ls, g_n, g_cent, g_pops, g_count, state.g_num,
+            ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
+            g_ls, g_n, g_cent, g_pops, g_count, g_num,
         )
-        return (new_state, pending, assigned, row_group, r + 1)
+        return (new_state, pending, assigned, r + 1)
 
     pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
-    rg0 = jnp.zeros((m,), jnp.int32)
-    state, pending, assigned, last_rg, _ = lax.while_loop(
-        cond, round_body, (state, pending0, assigned0, rg0, jnp.int32(0))
-    )
-
-    # Safety valve: rows still pending after max_rounds become singleton
-    # clusters in their last routed group (deterministic)
-    def flush(args):
-        state, assigned = args
-        rank = jnp.cumsum(pending.astype(jnp.int32)) - 1
-        slot = jnp.where(pending, state.num + rank, guard_c)
-        ls = state.ls.at[slot].add(jnp.where(pending[:, None], row_ls, 0))
-        n = state.n.at[slot].add(jnp.where(pending, row_n, 0))
-        t_cent = majority_centroid_from_sums(
-            ls[slot], jnp.maximum(n[slot], 1)
-        ).astype(jnp.bfloat16)
-        cent = state.cent.at[slot].set(t_cent)
-        pops = state.pops.at[slot].set(jnp.sum(t_cent.astype(jnp.int32), -1))
-        grp = state.group.at[slot].set(
-            jnp.where(pending, last_rg, state.group[guard_c])
-        )
-        guard_g = state.g_ls.shape[0] - 1
-        g_slot = jnp.where(pending, last_rg, guard_g)
-        g_ls = state.g_ls.at[g_slot].add(jnp.where(pending[:, None], row_ls, 0))
-        g_n = state.g_n.at[g_slot].add(jnp.where(pending, row_n, 0))
-        g_count = state.g_count.at[g_slot].add(jnp.where(pending, 1, 0))
-        tg = majority_centroid_from_sums(
-            g_ls[g_slot], jnp.maximum(g_n[g_slot], 1)
-        ).astype(jnp.bfloat16)
-        g_cent = state.g_cent.at[g_slot].set(tg)
-        g_pops = state.g_pops.at[g_slot].set(jnp.sum(tg.astype(jnp.int32), -1))
-        num = state.num + jnp.sum(pending.astype(jnp.int32))
-        assigned = jnp.where(pending, slot, assigned)
-        return (
-            BatchState(
-                ls, n, cent, pops, grp, num,
-                g_ls, g_n, g_cent, g_pops, g_count, state.g_num,
-            ),
-            assigned,
-        )
-
-    state, assigned = lax.cond(
-        jnp.any(pending), flush, lambda args: args, (state, assigned)
+    state, pending, assigned, _ = lax.while_loop(
+        cond, round_body, (state, pending0, assigned0, jnp.int32(0))
     )
     return state, assigned
+
+
+# Jitted entry used by the host driver; the raw impl is reused inside the
+# SPMD sharded program (bblean_tpu.parallel.sharded)
+_batch_step = functools.partial(
+    jax.jit,
+    static_argnames=("criterion", "block", "max_rounds"),
+    donate_argnums=(0,),
+)(_batch_step_impl)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _split_apply_many(
+    state: BatchState,
+    gs: Array,  # (K,) int32 old group ids (pads repeat entry 0)
+    active: Array,  # (K,) bool (False = padding, no-op)
+    midx: Array,  # (K, tile) member slots (pads repeat each row's first)
+    to_new: Array,  # (K, tile) bool: member moves to the new group
+    member_pos: Array,  # (K, tile) new tile position per member
+    new_t_pk: Array,  # (K, 2, tile, F8) re-packed tiles [kept, moved]
+    new_t_pops: Array,  # (K, 2, tile)
+    new_t_slot: Array,  # (K, 2, tile)
+    counts: Array,  # (K, 2) int32 [n_kept, n_moved] cluster counts
+) -> BatchState:
+    r"""Device side of a host-driven pass of up to K group splits (one
+    dispatch, static shapes).
+
+    Inactive rows and tile pads are made idempotent: pads repeat real
+    entries with identical values, and inactive rows rewrite their current
+    state.
+    """
+    k, tile = midx.shape
+    guard_g = state.g_ls.shape[0] - 1
+    # New group ids, allocated by active rank
+    new_gs = state.g_num + jnp.cumsum(active.astype(jnp.int32)) - 1
+
+    flat_idx = midx.reshape(-1)
+    member_ls = state.ls[flat_idx].reshape(k, tile, -1)
+    member_n = state.n[flat_idx].reshape(k, tile)
+    # Count each slot once (pads repeat row entries)
+    first_of_row = midx[:, :1]
+    dedup = jnp.concatenate(
+        [jnp.ones((k, 1), bool), midx[:, 1:] != first_of_row], axis=1
+    )
+    w_moved = (to_new & dedup).astype(jnp.int32)
+    moved_ls = jnp.sum(member_ls * w_moved[:, :, None], axis=1)  # (K, F)
+    moved_n = jnp.sum(member_n * w_moved, axis=1)  # (K,)
+    kept_ls = state.g_ls[gs] - moved_ls
+    kept_n = state.g_n[gs] - moved_n
+
+    # Cluster -> (group, pos) updates; inactive rows rewrite current values
+    member_grp = jnp.where(to_new, new_gs[:, None], gs[:, None])
+    cur_grp = state.group[flat_idx].reshape(k, tile)
+    cur_pos = state.pos[flat_idx].reshape(k, tile)
+    member_grp = jnp.where(active[:, None], member_grp, cur_grp)
+    member_pos = jnp.where(active[:, None], member_pos, cur_pos)
+    group = state.group.at[flat_idx].set(member_grp.reshape(-1))
+    pos = state.pos.at[flat_idx].set(member_pos.reshape(-1))
+
+    # Group-table updates at (K, 2) target ids; inactive rows hit the guard
+    gi = jnp.where(
+        active[:, None], jnp.stack([gs, new_gs], axis=1), guard_g
+    ).reshape(-1)
+    pair_ls = jnp.stack([kept_ls, moved_ls], axis=1).reshape(2 * k, -1)
+    pair_n = jnp.stack([kept_n, moved_n], axis=1).reshape(2 * k)
+    # Guard writes must be idempotent reads of the current guard state
+    pair_ls = jnp.where(active.repeat(2)[:, None], pair_ls, state.g_ls[gi])
+    pair_n = jnp.where(active.repeat(2), pair_n, state.g_n[gi])
+    pair_cent = majority_centroid_from_sums(pair_ls, jnp.maximum(pair_n, 1))
+    a2 = active.repeat(2)
+
+    def sel(new, cur):
+        broadcast = a2.reshape((2 * k,) + (1,) * (new.ndim - 1))
+        return jnp.where(broadcast, new, cur)
+
+    return state._replace(
+        group=group,
+        pos=pos,
+        t_pk=state.t_pk.at[gi].set(
+            sel(new_t_pk.reshape(2 * k, tile, -1), state.t_pk[gi])
+        ),
+        t_pops=state.t_pops.at[gi].set(
+            sel(new_t_pops.reshape(2 * k, tile), state.t_pops[gi])
+        ),
+        t_slot=state.t_slot.at[gi].set(
+            sel(new_t_slot.reshape(2 * k, tile), state.t_slot[gi])
+        ),
+        g_ls=state.g_ls.at[gi].set(pair_ls),
+        g_n=state.g_n.at[gi].set(pair_n),
+        g_cent=state.g_cent.at[gi].set(pair_cent.astype(jnp.bfloat16)),
+        g_pops=state.g_pops.at[gi].set(
+            jnp.sum(pair_cent.astype(jnp.int32), axis=-1)
+        ),
+        g_count=state.g_count.at[gi].set(
+            sel(counts.reshape(2 * k), state.g_count[gi])
+        ),
+        g_num=state.g_num + jnp.sum(active.astype(jnp.int32)),
+    )
+
+
+@jax.jit
+def _pull_group_tiles(state: BatchState, gs: Array):
+    r"""One-dispatch fetch of K groups' tiles + CFs (host split pass)."""
+    return (
+        state.t_pk[gs],
+        state.t_pops[gs],
+        state.t_slot[gs],
+        state.g_ls[gs],
+        state.g_n[gs],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_features",))
+def _prep_fp_rows(packed: Array, valid: Array, n_features: int):
+    r"""Device-side CF-row prep from packed fingerprints (n = 1 rows)."""
+    bits = unpack_fingerprints_device(packed, n_features)
+    row_ls = bits.astype(jnp.int32)
+    row_n = valid.astype(jnp.int32)
+    row_cent = bits.astype(jnp.bfloat16)
+    row_pop = jnp.sum(row_ls, axis=-1)
+    return row_ls, row_n, row_cent, packed, row_pop
+
+
+@jax.jit
+def _prep_buffer_rows(row_ls: Array, row_n: Array):
+    r"""Device-side CF-row prep from pre-aggregated buffers."""
+    cent = majority_centroid_from_sums(row_ls, jnp.maximum(row_n, 1))
+    row_pk = pack_fingerprints_device(cent)
+    row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
+    return row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop
 
 
 class BatchTree:
     r"""Host driver for the batched device engine (data plane on device,
     topology control plane on host).
 
-    ``fanout`` bounds the clusters per group; oversized groups are split on
-    host between steps with the most-dissimilar-pair partition.
+    ``fanout`` bounds the clusters per group (split trigger); ``tile`` is the
+    static per-group tile capacity (must exceed ``fanout`` by enough headroom
+    for in-batch creations).
     """
 
     def __init__(
@@ -445,49 +620,75 @@ class BatchTree:
         merge_criterion: str = "diameter",
         tolerance: float = 0.05,
         batch_size: int = 1024,
-        fanout: int = 128,
+        fanout: int = 192,
+        tile: int = 256,
         initial_capacity: int = 8192,
-        centroid_block: int = 4096,
-        max_rounds: int = 32,
+        route_block: int = 1024,
+        max_rounds: int = 24,
     ) -> None:
+        if fanout >= tile:
+            raise ValueError("fanout must be < tile (headroom for creations)")
         self.n_features = n_features
+        self.n_bytes = (n_features + 7) // 8
         self.threshold = threshold
         self.merge_criterion = merge_criterion
         self.tolerance = tolerance
         self.batch_size = batch_size
         self.fanout = fanout
-        self.centroid_block = centroid_block
+        self.tile = tile
+        self.route_block = route_block
         self.max_rounds = max_rounds
-
-        def pow2(x: int) -> int:
-            p = 1
-            while p < x:
-                p *= 2
-            return p
-
-        # +1 keeps the last slot free as a scatter guard (never a live slot)
-        self.capacity = pow2(
-            max(initial_capacity, 2 * batch_size + 1, centroid_block)
+        self.capacity = _next_pow2(
+            max(initial_capacity, 2 * batch_size + 1)
         )
-        self.g_capacity = pow2(max(256, self.capacity // max(fanout // 4, 1)))
-        self.state = _init_state(self.capacity, self.g_capacity, n_features)
-        self._num_groups = 1
+        # Enough group headroom that a full batch of in-step creations never
+        # forces a mid-run recompile (growth re-specializes the step)
+        self.g_capacity = _next_pow2(
+            max(
+                256,
+                self.capacity // max(fanout // 2, 1),
+                2 * batch_size + 2,
+            )
+        )
+        self.state = _init_state(
+            self.capacity, self.g_capacity, tile, n_features
+        )
+        # Host-side upper bounds on the device counters (see _ensure_capacity)
+        self._num_upper = 0
+        self._g_upper = 1
+        # Check for oversized groups every `split_interval` batches (each
+        # check is a device round-trip); overflow chunking keeps un-split
+        # groups correct in between
+        self.split_interval = 4
+        self._batches_since_split_check = 0
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
         self._row_mols: list[list[list[int]]] = []
 
     @property
     def num_clusters(self) -> int:
-        return int(self.state.num)
+        num = int(self.state.num)
+        self._num_upper = num
+        return num
 
     @property
     def num_groups(self) -> int:
-        return int(self.state.g_num)
+        g_num = int(self.state.g_num)
+        self._g_upper = g_num
+        return g_num
 
     def _ensure_capacity(self, incoming: int) -> None:
-        # +1: the top slot of each table is a scatter guard and stays free
-        need_c = self.num_clusters + incoming + 1
-        need_g = self.num_groups + 2
+        r"""Grow tables if needed, using host-side upper bounds to avoid a
+        device sync per batch (each round-trip costs ~10s of ms through the
+        TPU tunnel); exact counts are pulled only near the capacity edge."""
+        # +1: the top slot of each table is a scatter guard and stays free.
+        # Groups need headroom for in-step overflow creations (<= incoming)
+        if self._num_upper + incoming + 1 > self.capacity:
+            self._num_upper = int(self.state.num)  # sync the true count
+        if self._g_upper + incoming + 1 > self.g_capacity:
+            self._g_upper = int(self.state.g_num)
+        need_c = self._num_upper + incoming + 1
+        need_g = self._g_upper + incoming + 1
         new_c, new_g = self.capacity, self.g_capacity
         while new_c < need_c:
             new_c *= 2
@@ -499,13 +700,34 @@ class BatchTree:
 
     # -- insertion -----------------------------------------------------------
 
+    def fit_packed(
+        self, packed_fps: np.ndarray | Array, mol_indices: tp.Sequence[int]
+    ) -> None:
+        r"""Insert packed fingerprints (uploaded to HBM once, prepped on
+        device) — the fast path for large datasets."""
+        dev_fps = jnp.asarray(packed_fps, dtype=jnp.uint8)
+        num = len(packed_fps)
+        mols = [[int(i)] for i in mol_indices]
+        m = self.batch_size
+        for start in range(0, num, m):
+            stop = min(start + m, num)
+            chunk = lax.dynamic_slice_in_dim(
+                dev_fps, start, m, 0
+            ) if stop - start == m else jnp.pad(
+                dev_fps[start:stop], ((0, m - (stop - start)), (0, 0))
+            )
+            valid = np.zeros(m, bool)
+            valid[: stop - start] = True
+            rows = _prep_fp_rows(chunk, jnp.asarray(valid), self.n_features)
+            self._step_until_done(rows, mols[start:stop], valid)
+
     def insert_fps(
         self, unpacked_fps: np.ndarray, mol_indices: tp.Sequence[int]
     ) -> None:
         r"""Insert unpacked 0/1 fingerprints (one CF row of n=1 each)."""
-        ls = unpacked_fps.astype(np.int32)
-        ns = np.ones(len(ls), dtype=np.int32)
-        self._insert_rows(ls, ns, [[int(i)] for i in mol_indices])
+        self.fit_packed(np.packbits(
+            np.asarray(unpacked_fps, dtype=np.uint8), axis=-1
+        ), mol_indices)
 
     def insert_buffers(
         self,
@@ -513,118 +735,184 @@ class BatchTree:
         mol_index_seqs: tp.Sequence[tp.Sequence[int]],
     ) -> None:
         r"""Insert pre-aggregated CF buffers ``[linear_sum..., n]``."""
-        ls = buffers[:, :-1].astype(np.int32)
-        ns = buffers[:, -1].astype(np.int32)
-        self._insert_rows(ls, ns, [list(s) for s in mol_index_seqs])
-
-    def _insert_rows(
-        self, ls: np.ndarray, ns: np.ndarray, mols: list[list[int]]
-    ) -> None:
+        ls = np.asarray(buffers)[:, :-1].astype(np.int32)
+        ns = np.asarray(buffers)[:, -1].astype(np.int32)
+        mols = [list(s) for s in mol_index_seqs]
         m = self.batch_size
         for start in range(0, len(ls), m):
-            chunk_ls = ls[start : start + m]
-            chunk_n = ns[start : start + m]
-            pad = m - len(chunk_ls)
+            stop = min(start + m, len(ls))
+            chunk_ls = ls[start:stop]
+            chunk_n = ns[start:stop]
+            pad = m - (stop - start)
             if pad:
                 chunk_ls = np.pad(chunk_ls, ((0, pad), (0, 0)))
                 chunk_n = np.pad(chunk_n, (0, pad))
-            self._ensure_capacity(m)
-            cent = np.where(
-                (chunk_n > 1)[:, None],
-                chunk_ls >= (chunk_n[:, None] * 0.5),
-                np.clip(chunk_ls, 0, 1),
+            rows = _prep_buffer_rows(
+                jnp.asarray(chunk_ls), jnp.asarray(chunk_n)
             )
-            pops = cent.sum(axis=1, dtype=np.int32)
+            self._step_until_done(rows, mols[start:stop], chunk_n > 0)
+
+    def _step_until_done(
+        self,
+        rows: tuple[Array, ...],
+        mols: list[list[int]],
+        host_valid: np.ndarray,
+    ) -> None:
+        r"""Run batch steps + host split passes until every row is assigned."""
+        m = self.batch_size
+        row_ls, row_n, row_cent, row_pk, row_pop = rows
+        final_assigned = np.full(m, -1, dtype=np.int32)
+        active = None  # None = all rows
+        for _attempt in range(64):
+            self._ensure_capacity(m)
             self.state, assigned = _batch_step(
-                self.state,
-                jnp.asarray(chunk_ls, dtype=jnp.int32),
-                jnp.asarray(chunk_n, dtype=jnp.int32),
-                jnp.asarray(cent, dtype=jnp.bfloat16),
-                jnp.asarray(pops, dtype=jnp.int32),
-                jnp.float32(self.threshold),
-                jnp.float32(self.tolerance),
-                criterion=self.merge_criterion,
-                block=self.centroid_block,
+                self.state, row_ls, row_n, row_cent, row_pk, row_pop,
+                jnp.float32(self.threshold), jnp.float32(self.tolerance),
+                criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
             )
-            valid = min(m, len(ls) - start)
-            self._row_slots.append(np.asarray(assigned)[:valid])
-            self._row_mols.append(mols[start : start + valid])
-            self._split_oversized_groups()
+            assigned_np = np.asarray(assigned)
+            if active is None:
+                final_assigned = assigned_np.copy()
+            else:
+                final_assigned[active] = assigned_np[active]
+            self._num_upper += int(host_valid.sum())
+            self._g_upper += int(host_valid.sum())
+            missing = (final_assigned == -1) & host_valid
+            self._batches_since_split_check += 1
+            if (
+                self._batches_since_split_check >= self.split_interval
+                or missing.any()
+            ):
+                self._batches_since_split_check = 0
+                self._split_oversized_groups()
+            if not missing.any():
+                break
+            # Retry only the unassigned rows (mask the rest out)
+            active = missing
+            row_n = jnp.where(jnp.asarray(missing), row_n, 0)
+        else:
+            raise RuntimeError("batch engine failed to drain a batch")
+        self._row_slots.append(final_assigned[: len(mols)])
+        self._row_mols.append(mols)
 
     # -- host control plane: group splits ------------------------------------
 
     def _split_oversized_groups(self) -> None:
         r"""Split any group whose cluster count exceeds ``fanout``.
 
-        Mirrors the reference node split: seed with the most-dissimilar pair
-        of member centroids, assign each member to the closer seed
-        (``bblean/bitbirch.py:190-211``), second seed keeps the old group id.
+        Balanced variant of the reference node split: seeds are the
+        most-dissimilar pair of member centroids
+        (``bblean/bitbirch.py:190-211``); members are ranked by
+        (sim-to-seed1 - sim-to-seed2) and the top half joins seed 1.  The
+        balance keeps tile occupancy high, which the reference (pointer
+        lists) does not need but tiles do.
+
+        Host pulls only the group's tile (~tile * F/8 bytes) plus two (F,)
+        group sums — never the flat CF tables, which may be GBs.
         """
-        g_count = np.asarray(self.state.g_count)[: self.num_groups]
-        oversized = np.nonzero(g_count > self.fanout)[0]
-        if not oversized.size:
-            return
-        cluster_group = np.array(self.state.group)[: self.num_clusters]
-        ls_all = None
-        for g in oversized:
-            self._ensure_capacity(0)
-            members = np.nonzero(cluster_group == g)[0]
-            if ls_all is None:
-                ls_all = np.asarray(self.state.ls)[: self.num_clusters]
-                n_all = np.asarray(self.state.n)[: self.num_clusters]
-            mls = ls_all[members]
-            mn = n_all[members]
-            cent = np.where(
-                (mn > 1)[:, None], mls >= (mn[:, None] * 0.5), np.clip(mls, 0, 1)
-            ).astype(np.uint8)
-            packed = np.packbits(cent, axis=-1)
-            total_ls = mls.sum(0, dtype=np.int64)
-            seed_cent = centroid_from_sum(
-                total_ls.astype(np.uint64), len(members), pack=True
+        k = 8  # splits per device call (static shape)
+        for _ in range(64):
+            g_count = np.asarray(self.state.g_count)[: self.num_groups]
+            oversized = np.nonzero(g_count > self.fanout)[0]
+            if not oversized.size:
+                return
+            self._ensure_capacity(len(oversized))
+            for start in range(0, len(oversized), k):
+                self._split_groups(oversized[start : start + k], k)
+
+    def _split_groups(self, groups: np.ndarray, k: int) -> None:
+        r"""Pull K group tiles, partition on host, apply all splits in one
+        device dispatch (static shapes; pads are idempotent no-ops)."""
+        tile, f8 = self.tile, self.n_bytes
+        guard_c = self.capacity - 1
+        n_real = len(groups)
+        gs = np.full(k, groups[0], dtype=np.int32)
+        gs[:n_real] = groups
+        active = np.zeros(k, dtype=bool)
+        active[:n_real] = True
+
+        pk_d, pops_d, slot_d, gls_d, gn_d = _pull_group_tiles(
+            self.state, jnp.asarray(gs)
+        )
+        all_slots = np.asarray(slot_d)
+        all_pk = np.asarray(pk_d)
+        all_pops = np.asarray(pops_d)
+        all_gls = np.asarray(gls_d)
+        all_gn = np.asarray(gn_d)
+
+        midx = np.full((k, tile), guard_c, dtype=np.int32)
+        to_new = np.zeros((k, tile), dtype=bool)
+        member_pos = np.zeros((k, tile), dtype=np.int32)
+        new_pk = np.zeros((k, 2, tile, f8), dtype=np.uint8)
+        new_pops = np.zeros((k, 2, tile), dtype=np.int32)
+        new_slot = np.full((k, 2, tile), -1, dtype=np.int32)
+        counts = np.zeros((k, 2), dtype=np.int32)
+
+        for row in range(n_real):
+            slots = all_slots[row]
+            occupied = slots >= 0
+            members = slots[occupied]
+            packed = all_pk[row][occupied]
+            cards = all_pops[row][occupied]
+
+            # Seeds: most-dissimilar pair via centroid -> fp1 -> fp2
+            group_cent = centroid_from_sum(
+                all_gls[row].astype(np.uint64),
+                max(int(all_gn[row]), 1),
+                pack=True,
             )
-            cards = popcount(packed)
-            sims_c = _jt_sim_packed_precalc_cardinalities(packed, seed_cent, cards)
+            sims_c = _jt_sim_packed_precalc_cardinalities(
+                packed, group_cent, cards
+            )
             i1 = int(np.argmin(sims_c))
-            sims1 = _jt_sim_packed_precalc_cardinalities(packed, packed[i1], cards)
-            i2 = int(np.argmin(sims1))
-            sims2 = _jt_sim_packed_precalc_cardinalities(packed, packed[i2], cards)
-            to_new = sims1 > sims2
-            to_new[i1] = True
-            new_g = self.num_groups
-            moved = members[to_new]
-            kept = members[~to_new]
-            cluster_group[moved] = new_g
-            # Push updated topology + recomputed group CFs to device
-            st = self.state
-            moved_ls = mls[to_new].sum(0, dtype=np.int64)
-            kept_ls = mls[~to_new].sum(0, dtype=np.int64)
-            moved_n = int(mn[to_new].sum())
-            kept_n = int(mn[~to_new].sum())
-
-            def gcent(ls_sum, n_tot):
-                c = centroid_from_sum(
-                    ls_sum.astype(np.uint64), max(n_tot, 1), pack=False
-                )
-                return c.astype(np.float32)
-
-            new_c = gcent(moved_ls, moved_n)
-            old_c = gcent(kept_ls, kept_n)
-            self.state = st._replace(
-                group=st.group.at[jnp.asarray(moved)].set(new_g),
-                g_ls=st.g_ls.at[new_g].set(moved_ls.astype(np.int32))
-                .at[int(g)].set(kept_ls.astype(np.int32)),
-                g_n=st.g_n.at[new_g].set(moved_n).at[int(g)].set(kept_n),
-                g_cent=st.g_cent.at[new_g].set(new_c.astype(jnp.bfloat16))
-                .at[int(g)].set(old_c.astype(jnp.bfloat16)),
-                g_pops=st.g_pops.at[new_g].set(int(new_c.sum()))
-                .at[int(g)].set(int(old_c.sum())),
-                g_count=st.g_count.at[new_g].set(len(moved))
-                .at[int(g)].set(len(kept)),
-                g_num=st.g_num + 1,
+            sims1 = _jt_sim_packed_precalc_cardinalities(
+                packed, packed[i1], cards
             )
-        # A split may leave a group still oversized: recurse until stable
-        self._split_oversized_groups()
+            i2 = int(np.argmin(sims1))
+            sims2 = _jt_sim_packed_precalc_cardinalities(
+                packed, packed[i2], cards
+            )
+            # Balanced partition: top half by seed1-affinity moves out
+            margin = sims1 - sims2
+            margin[i1] = np.inf
+            margin[i2] = -np.inf
+            order = np.argsort(-margin, kind="stable")
+            half = len(members) // 2
+            move = np.zeros(len(members), dtype=bool)
+            move[order[:half]] = True
+
+            pos = np.empty(len(members), dtype=np.int32)
+            pos[move] = np.arange(int(move.sum()))
+            pos[~move] = np.arange(int((~move).sum()))
+
+            nm = len(members)
+            midx[row, :nm] = members
+            midx[row, nm:] = members[0]  # idempotent pad
+            to_new[row, :nm] = move
+            to_new[row, nm:] = move[0]
+            member_pos[row, :nm] = pos
+            member_pos[row, nm:] = pos[0]
+
+            for half_i, mask in enumerate((~move, move)):
+                sel = members[mask]
+                new_pk[row, half_i, : len(sel)] = packed[mask]
+                new_pops[row, half_i, : len(sel)] = cards[mask]
+                new_slot[row, half_i, : len(sel)] = sel
+                counts[row, half_i] = len(sel)
+
+        self.state = _split_apply_many(
+            self.state,
+            jnp.asarray(gs),
+            jnp.asarray(active),
+            jnp.asarray(midx),
+            jnp.asarray(to_new),
+            jnp.asarray(member_pos),
+            jnp.asarray(new_pk),
+            jnp.asarray(new_pops),
+            jnp.asarray(new_slot),
+            jnp.asarray(counts),
+        )
 
     # -- extraction ----------------------------------------------------------
 
@@ -650,3 +938,10 @@ class BatchTree:
             (n > 1)[:, None], ls >= (n[:, None] * 0.5), np.clip(ls, 0, 1)
         ).astype(np.uint8)
         return np.packbits(cent, axis=-1)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p

@@ -26,3 +26,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the sharded SPMD programs take minutes to
+# compile on the 1-core CPU host; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/bblean_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,73 @@
+r"""Multi-device sharded clustering tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's parallel == serial strategy (its multiround tests run
+the same data through 10 processes and 1 process and compare): here the
+sharded SPMD fit must agree with a single-device sharded fit on cluster
+structure, and all rows must be assigned consistently.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bblean_tpu._np_similarity import jt_isim_from_sum
+from bblean_tpu.fingerprints import make_fake_fingerprints
+from bblean_tpu.parallel import get_mesh, sharded_fit
+
+SEED = 12620509540149709235
+
+
+@pytest.fixture(scope="module")
+def fps():
+    return make_fake_fingerprints(600, seed=SEED, pack=False)
+
+
+def _fit(fps, n_dev, threshold=0.65):
+    mesh = get_mesh(n_dev)
+    return sharded_fit(
+        fps,
+        mesh,
+        threshold=threshold,
+        batch_size=128,
+        centroid_block=128,
+        g_capacity=256,
+        max_rounds=16,
+    )
+
+
+def test_eight_device_fit(fps) -> None:
+    assert len(jax.devices()) >= 8
+    res = _fit(fps, 8)
+    assert res.labels.shape == (600,)
+    assert res.labels.min() >= 0
+    assert res.num_clusters == len(res.sizes)
+    # Sizes match label histogram
+    hist = np.bincount(res.labels, minlength=res.num_clusters)
+    assert (hist == res.sizes).all()
+    assert res.sizes.sum() == 600
+
+
+def test_cohesion_invariant_after_merge(fps) -> None:
+    res = _fit(fps, 8, threshold=0.65)
+    for ls, n in zip(res.linear_sums, res.sizes):
+        if n >= 2:
+            assert (
+                jt_isim_from_sum(ls.astype(np.uint64), int(n)) >= 0.65 - 1e-5
+            )
+
+
+def test_parallel_vs_single_device(fps) -> None:
+    r"""8-device and 1-device sharded fits agree on cluster statistics."""
+    res8 = _fit(fps, 8)
+    res1 = _fit(fps, 1)
+    assert abs(res8.num_clusters - res1.num_clusters) <= 0.1 * res1.num_clusters + 5
+    # Total mass conserved in both
+    assert res8.sizes.sum() == res1.sizes.sum() == 600
+
+
+def test_linear_sums_match_members(fps) -> None:
+    res = _fit(fps, 4)
+    for slot in range(res.num_clusters):
+        members = np.nonzero(res.labels == slot)[0]
+        assert (res.linear_sums[slot] == fps[members].sum(0)).all()
