@@ -208,6 +208,27 @@ def _get_fps_file_shape_and_dtype(
     return tp.cast(tp.Tuple[int, int], shape), dtype, shape_is_valid, dtype_is_valid
 
 
+def _print_fps_file_info(path: Path, console: tp.Any = None) -> None:
+    r"""Pretty-print shape/dtype/validity of a fingerprint ``.npy`` file."""
+    if console is None:
+        from rich.console import Console
+
+        console = Console()
+    shape, dtype, shape_ok, dtype_ok = _get_fps_file_shape_and_dtype(path)
+    console.print(f"File: {path.resolve()}")
+    if shape_ok and dtype_ok:
+        console.print("    - [green]Valid fingerprint file[/green]")
+    else:
+        console.print("    - [red]Invalid fingerprint file[/red]")
+    if shape_ok:
+        console.print(f"    - Num. fingerprints: {shape[0]:,}")
+        console.print(f"    - Num. features: {shape[1]:,}")
+    else:
+        console.print(f"    - Shape: {shape}")
+    console.print(f"    - DType: [yellow]{dtype.name}[/yellow]")
+    console.print()
+
+
 class _FingerprintFileSequence:
     r"""Lazy view over a sequence of ``.npy`` fingerprint files as one array."""
 
