@@ -49,6 +49,21 @@ _global_merge_accept: MergeAcceptFunction | None = None
 _UNPACK_CHUNK = 4096
 
 
+def _native_engine_enabled() -> bool:
+    import os
+
+    if os.getenv("BBLEAN_TPU_NO_EXTENSIONS") or os.getenv(
+        "BITBIRCH_NO_EXTENSIONS"
+    ):
+        return False
+    try:
+        from bblean_tpu.engine.native import native_engine_available
+
+        return native_engine_available()
+    except (ImportError, OSError):
+        return False
+
+
 def set_merge(merge_criterion: str, tolerance: float = 0.05) -> None:
     r"""Set the merge criterion globally for every BitBirch instance.
 
@@ -216,10 +231,31 @@ class BitBirch:
         if self._only_has_leaves:
             raise ValueError("Internal nodes were released, call reset() before fit()")
         if self._engine is None:
-            self._engine = ExactTree(self.branching_factor, n_features)
+            if _native_engine_enabled() and (
+                self._merge_accept_fn.name in BUILTIN_MERGES
+            ):
+                from bblean_tpu.engine.native import NativeExactTree
+
+                self._engine = NativeExactTree(self.branching_factor, n_features)
+            else:
+                self._engine = ExactTree(self.branching_factor, n_features)
         if not self._engine.is_init:
             self._engine.init_root()
         return self._engine
+
+    def _sync_native_criterion(self, engine: tp.Any) -> bool:
+        r"""Point a native engine at the current criterion; True if native."""
+        if not hasattr(engine, "set_criterion"):
+            return False
+        name = self._merge_accept_fn.name
+        if name not in BUILTIN_MERGES:
+            raise ValueError(
+                "The native engine cannot evaluate custom merge functions;"
+                " set BBLEAN_TPU_NO_EXTENSIONS=1 to use the Python engine"
+            )
+        tolerance = getattr(self._merge_accept_fn, "tolerance", 0.05)
+        engine.set_criterion(name, self.threshold, tolerance)
+        return True
 
     def fit(
         self,
@@ -254,6 +290,7 @@ class BitBirch:
         else:
             idx_iter = iter(reinsert_indices)
 
+        is_native = self._sync_native_criterion(engine)
         num_rows = len(X)
         consumed = 0
         for start in range(0, num_rows, _UNPACK_CHUNK):
@@ -263,23 +300,44 @@ class BitBirch:
             else:
                 chunk = np.asarray(X[start:stop])
             if input_is_packed:
-                unpacked = unpack_fingerprints(chunk, n_features)
                 packed = chunk
+                unpacked = None
             else:
                 unpacked = chunk.astype(np.uint8, copy=False)
                 packed = pack_fingerprints(unpacked)
-            for row in range(stop - start):
-                engine.insert_fp(
-                    unpacked[row],
-                    packed[row].copy(),
-                    next(idx_iter),
-                    accept_fn,
-                    threshold,
+            if is_native:
+                # Whole chunk in one native call (no per-row dispatch)
+                idxs = np.fromiter(
+                    (next(idx_iter) for _ in range(stop - start)),
+                    dtype=np.int64,
+                    count=stop - start,
                 )
-                self._num_fitted_fps += 1
-                consumed += 1
-                if mmanager.can_release and mmanager.should_release_curr_page(consumed):
-                    mmanager.release_curr_page_and_update_addr()
+                engine.insert_packed_chunk(packed, idxs)
+                self._num_fitted_fps += stop - start
+                consumed += stop - start
+            else:
+                if unpacked is None:
+                    unpacked = unpack_fingerprints(chunk, n_features)
+                for row in range(stop - start):
+                    engine.insert_fp(
+                        unpacked[row],
+                        packed[row].copy(),
+                        next(idx_iter),
+                        accept_fn,
+                        threshold,
+                    )
+                    self._num_fitted_fps += 1
+                    consumed += 1
+                    if mmanager.can_release and mmanager.should_release_curr_page(
+                        consumed
+                    ):
+                        mmanager.release_curr_page_and_update_addr()
+            if (
+                is_native
+                and mmanager.can_release
+                and mmanager.should_release_curr_page(consumed)
+            ):
+                mmanager.release_curr_page_and_update_addr()
         return self
 
     def _fit_buffers(
@@ -308,6 +366,25 @@ class BitBirch:
         else:
             idx_provider = reinsert_index_seqs
             check = True
+        is_native = self._sync_native_criterion(engine)
+        if is_native:
+            bufs: list[np.ndarray] = []
+            mol_lists: list[list[int]] = []
+            for idxs, buf in zip(idx_provider, X):
+                buf = np.asarray(buf)
+                if check and len(idxs) != int(buf[-1]):
+                    raise ValueError(
+                        "Expected len(mol_indices) == buffer[-1],"
+                        f" but found {len(idxs)} != {buf[-1]}"
+                    )
+                bufs.append(buf)
+                mol_lists.append(list(idxs))
+                self._num_fitted_fps += len(idxs)
+            if bufs:
+                engine.insert_buffer_group(
+                    bufs, mol_lists, np.dtype(bufs[0].dtype).itemsize
+                )
+            return self
         for idxs, buf in zip(idx_provider, X):
             buf = np.asarray(buf)
             if check and len(idxs) != int(buf[-1]):
