@@ -153,7 +153,10 @@ def _route_groups(
     m = row_cent.shape[0]
     g_cap = g_cent.shape[0]
     block = min(block, g_cap)
-    n_blocks = g_cap // block
+    # Only sweep blocks containing live groups (dynamic loop bound): with a
+    # capacity-padded table this is the difference between O(G_cap) and
+    # O(G_live) matmul work per round
+    n_blocks = (g_num + block - 1) // block
 
     def body(b, carry):
         best_sim, best_idx = carry
@@ -252,8 +255,9 @@ def _batch_step_impl(
 ) -> tuple[BatchState, Array]:
     r"""Insert one batch of CF rows.
 
-    Returns (state, assigned slot per row); assigned == -1 marks rows the
-    host must retry after splitting oversized groups.
+    Returns (state, assigned slot per row, number of still-pending rows);
+    assigned == -1 marks rows the host must retry after splitting oversized
+    groups.
     """
     m, _f = row_ls.shape
     tile = state.t_pk.shape[1]
@@ -263,11 +267,11 @@ def _batch_step_impl(
     guard_g = state.g_ls.shape[0] - 1
 
     def cond(carry):
-        _state, pending, _assigned, r = carry
+        _state, pending, _assigned, _force_lead, r = carry
         return (r < max_rounds) & jnp.any(pending)
 
     def round_body(carry):
-        state, pending, assigned, r = carry
+        state, pending, assigned, force_lead, r = carry
 
         # ---- 1. route rows to groups (MXU) ----
         row_group = _route_groups(
@@ -341,7 +345,11 @@ def _batch_step_impl(
             sim_to_lower = jnp.where(
                 lower & rejected[None, :] & same_group, rsims, _NEG
             )
-            leads = rejected & ~jnp.any(sim_to_lower >= threshold, axis=1)
+            # Rows whose join failed last round self-promote: otherwise a
+            # follower of a never-cohesive group can retry forever
+            leads = rejected & (
+                force_lead | ~jnp.any(sim_to_lower >= threshold, axis=1)
+            )
             sim_to_leader = jnp.where(leads[None, :], sim_to_lower, _NEG)
             lead_of = jnp.argmax(sim_to_leader, axis=1).astype(jnp.int32)
             best_lead_sim = jnp.max(sim_to_leader, axis=1)
@@ -459,18 +467,20 @@ def _batch_step_impl(
 
         assigned = jnp.where(commit, slot_of_row, assigned)
         pending = pending & ~commit
+        next_force = pending & (join | (leader & ~create_commit) | force_lead)
         new_state = BatchState(
             ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
             g_ls, g_n, g_cent, g_pops, g_count, g_num,
         )
-        return (new_state, pending, assigned, r + 1)
+        return (new_state, pending, assigned, next_force, r + 1)
 
     pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
-    state, pending, assigned, _ = lax.while_loop(
-        cond, round_body, (state, pending0, assigned0, jnp.int32(0))
+    force0 = jnp.zeros((m,), bool)
+    state, pending, assigned, _force, _ = lax.while_loop(
+        cond, round_body, (state, pending0, assigned0, force0, jnp.int32(0))
     )
-    return state, assigned
+    return state, assigned, jnp.sum(pending.astype(jnp.int32))
 
 
 # Jitted entry used by the host driver; the raw impl is reused inside the
@@ -483,64 +493,146 @@ _batch_step = functools.partial(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _split_apply_many(
+def _split_groups_device(
     state: BatchState,
-    gs: Array,  # (K,) int32 old group ids (pads repeat entry 0)
+    gs: Array,  # (K,) int32 group ids to split (pads repeat entry 0)
     active: Array,  # (K,) bool (False = padding, no-op)
-    midx: Array,  # (K, tile) member slots (pads repeat each row's first)
-    to_new: Array,  # (K, tile) bool: member moves to the new group
-    member_pos: Array,  # (K, tile) new tile position per member
-    new_t_pk: Array,  # (K, 2, tile, F8) re-packed tiles [kept, moved]
-    new_t_pops: Array,  # (K, 2, tile)
-    new_t_slot: Array,  # (K, 2, tile)
-    counts: Array,  # (K, 2) int32 [n_kept, n_moved] cluster counts
 ) -> BatchState:
-    r"""Device side of a host-driven pass of up to K group splits (one
-    dispatch, static shapes).
+    r"""Split K oversized groups entirely on device (one dispatch).
 
-    Inactive rows and tile pads are made idempotent: pads repeat real
-    entries with identical values, and inactive rows rewrite their current
-    state.
+    Reference node-split semantics with a balanced partition: seeds are the
+    most-dissimilar pair of member centroids (centroid -> fp1 -> fp2,
+    ``bblean/bitbirch.py:190-211``); members ranked by (sim-to-fp1 -
+    sim-to-fp2) and the top half moves to the new group.  Balance keeps tile
+    occupancy high, which the tiled layout needs (the reference's pointer
+    lists do not).
     """
-    k, tile = midx.shape
+    k = gs.shape[0]
+    tile = state.t_pk.shape[1]
+    f8 = state.t_pk.shape[2]
     guard_g = state.g_ls.shape[0] - 1
-    # New group ids, allocated by active rank
     new_gs = state.g_num + jnp.cumsum(active.astype(jnp.int32)) - 1
 
-    flat_idx = midx.reshape(-1)
-    member_ls = state.ls[flat_idx].reshape(k, tile, -1)
-    member_n = state.n[flat_idx].reshape(k, tile)
-    # Count each slot once (pads repeat row entries)
-    first_of_row = midx[:, :1]
-    dedup = jnp.concatenate(
-        [jnp.ones((k, 1), bool), midx[:, 1:] != first_of_row], axis=1
+    t_pk = state.t_pk[gs]  # (K, tile, F8)
+    t_pops = state.t_pops[gs]  # (K, tile)
+    t_slot = state.t_slot[gs]  # (K, tile)
+    occupied = t_slot >= 0
+
+    # Seed centroid: exact group-CF majority vote, packed
+    g_ls = state.g_ls[gs]
+    g_n = state.g_n[gs]
+    seed_bits = majority_centroid_from_sums(g_ls, jnp.maximum(g_n, 1))
+    seed_pk = pack_fingerprints_device(seed_bits)  # (K, F8)
+    seed_pop = jnp.sum(seed_bits.astype(jnp.int32), axis=-1)
+
+    def packed_sims(vec_pk, vec_pop):
+        # Tanimoto of each tile cell vs a per-row packed vector
+        inter = jnp.sum(
+            lax.population_count(
+                jnp.bitwise_and(t_pk, vec_pk[:, None, :]).astype(jnp.int32)
+            ),
+            axis=-1,
+        )
+        union = t_pops + vec_pop[:, None] - inter
+        sims = inter.astype(jnp.float32) / jnp.maximum(union, 1).astype(
+            jnp.float32
+        )
+        return jnp.where(occupied, sims, 2.0)  # empty cells never argmin
+
+    rows = lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+    sims_seed = packed_sims(seed_pk, seed_pop)
+    i1 = jnp.argmin(sims_seed, axis=1).astype(jnp.int32)
+    fp1 = t_pk[rows, i1]
+    sims1 = packed_sims(fp1, t_pops[rows, i1])
+    i2 = jnp.argmin(sims1, axis=1).astype(jnp.int32)
+    fp2 = t_pk[rows, i2]
+    sims2 = packed_sims(fp2, t_pops[rows, i2])
+
+    inf = jnp.float32(jnp.inf)
+    margin = sims1 - sims2
+    margin = jnp.where(occupied, margin, -inf)  # empty cells stay put
+    col = lax.broadcasted_iota(jnp.int32, (k, tile), 1)
+    margin = jnp.where(col == i1[:, None], inf, margin)
+    margin = jnp.where(col == i2[:, None], -inf, margin)
+    # Balanced partition: top half (by margin, stable) moves to the new group
+    order = jnp.argsort(-margin, axis=1, stable=True)  # sorted pos -> cell
+    n_occ = jnp.sum(occupied.astype(jnp.int32), axis=1)
+    half = n_occ // 2
+    rows_b = jnp.repeat(rows[:, None], tile, 1)
+    pos_in_sort = (
+        jnp.zeros((k, tile), jnp.int32).at[rows_b, order].set(col)
+    )  # cell -> its sorted position
+    to_new = occupied & (pos_in_sort < half[:, None])
+
+    # Dense new positions within each half (stable by original cell order)
+    def dense_pos(mask):
+        return jnp.cumsum(mask.astype(jnp.int32), axis=1) - mask.astype(
+            jnp.int32
+        )
+
+    pos_moved = dense_pos(to_new & occupied)
+    pos_kept = dense_pos(~to_new & occupied)
+    member_pos = jnp.where(to_new, pos_moved, pos_kept)
+
+    # Re-pack tiles: scatter each occupied cell into (half, new position)
+    half_idx = jnp.where(to_new, 1, 0)
+    dst_cell = jnp.where(occupied, member_pos, tile - 1)
+    new_t_pk = jnp.zeros((k, 2, tile, f8), jnp.uint8)
+    new_t_pops = jnp.zeros((k, 2, tile), jnp.int32)
+    new_t_slot = jnp.full((k, 2, tile), -1, jnp.int32)
+    safe_half = jnp.where(occupied, half_idx, 0)
+    # Empty source cells target the guard cell of half 0 with slot -1 (no-op)
+    new_t_pk = new_t_pk.at[rows_b, safe_half, dst_cell].set(
+        jnp.where(occupied[:, :, None], t_pk, 0)
     )
-    w_moved = (to_new & dedup).astype(jnp.int32)
-    moved_ls = jnp.sum(member_ls * w_moved[:, :, None], axis=1)  # (K, F)
-    moved_n = jnp.sum(member_n * w_moved, axis=1)  # (K,)
-    kept_ls = state.g_ls[gs] - moved_ls
-    kept_n = state.g_n[gs] - moved_n
+    new_t_pops = new_t_pops.at[rows_b, safe_half, dst_cell].set(
+        jnp.where(occupied, t_pops, 0)
+    )
+    new_t_slot = new_t_slot.at[rows_b, safe_half, dst_cell].set(
+        jnp.where(occupied, t_slot, -1)
+    )
 
-    # Cluster -> (group, pos) updates; inactive rows rewrite current values
+    # Cluster -> (group, pos) updates; empty/pad writes are idempotent
+    guard_c = state.ls.shape[0] - 1
+    flat_slot = jnp.where(
+        occupied & active[:, None], t_slot, guard_c
+    ).reshape(-1)
     member_grp = jnp.where(to_new, new_gs[:, None], gs[:, None])
-    cur_grp = state.group[flat_idx].reshape(k, tile)
-    cur_pos = state.pos[flat_idx].reshape(k, tile)
-    member_grp = jnp.where(active[:, None], member_grp, cur_grp)
-    member_pos = jnp.where(active[:, None], member_pos, cur_pos)
-    group = state.group.at[flat_idx].set(member_grp.reshape(-1))
-    pos = state.pos.at[flat_idx].set(member_pos.reshape(-1))
+    cur_grp_guard = state.group[guard_c]
+    cur_pos_guard = state.pos[guard_c]
+    flat_grp = jnp.where(
+        occupied & active[:, None], member_grp, cur_grp_guard
+    ).reshape(-1)
+    flat_pos = jnp.where(
+        occupied & active[:, None], member_pos, cur_pos_guard
+    ).reshape(-1)
+    group = state.group.at[flat_slot].set(flat_grp)
+    pos = state.pos.at[flat_slot].set(flat_pos)
 
-    # Group-table updates at (K, 2) target ids; inactive rows hit the guard
+    # Group CFs of the two halves
+    w_moved = (to_new & occupied).astype(jnp.int32)
+    cluster_ls = state.ls[jnp.maximum(t_slot, 0).reshape(-1)].reshape(
+        k, tile, -1
+    )
+    cluster_n = state.n[jnp.maximum(t_slot, 0).reshape(-1)].reshape(k, tile)
+    moved_ls = jnp.sum(cluster_ls * w_moved[:, :, None], axis=1)
+    moved_n = jnp.sum(cluster_n * w_moved, axis=1)
+    kept_ls = g_ls - moved_ls
+    kept_n = g_n - moved_n
+
     gi = jnp.where(
         active[:, None], jnp.stack([gs, new_gs], axis=1), guard_g
     ).reshape(-1)
     pair_ls = jnp.stack([kept_ls, moved_ls], axis=1).reshape(2 * k, -1)
     pair_n = jnp.stack([kept_n, moved_n], axis=1).reshape(2 * k)
-    # Guard writes must be idempotent reads of the current guard state
-    pair_ls = jnp.where(active.repeat(2)[:, None], pair_ls, state.g_ls[gi])
-    pair_n = jnp.where(active.repeat(2), pair_n, state.g_n[gi])
+    a2 = jnp.repeat(active, 2)
+    pair_ls = jnp.where(a2[:, None], pair_ls, state.g_ls[gi])
+    pair_n = jnp.where(a2, pair_n, state.g_n[gi])
     pair_cent = majority_centroid_from_sums(pair_ls, jnp.maximum(pair_n, 1))
-    a2 = active.repeat(2)
+    pair_counts = jnp.stack(
+        [n_occ - jnp.sum(w_moved, axis=1), jnp.sum(w_moved, axis=1)], axis=1
+    ).reshape(2 * k)
+    pair_counts = jnp.where(a2, pair_counts, state.g_count[gi])
 
     def sel(new, cur):
         broadcast = a2.reshape((2 * k,) + (1,) * (new.ndim - 1))
@@ -550,7 +642,7 @@ def _split_apply_many(
         group=group,
         pos=pos,
         t_pk=state.t_pk.at[gi].set(
-            sel(new_t_pk.reshape(2 * k, tile, -1), state.t_pk[gi])
+            sel(new_t_pk.reshape(2 * k, tile, f8), state.t_pk[gi])
         ),
         t_pops=state.t_pops.at[gi].set(
             sel(new_t_pops.reshape(2 * k, tile), state.t_pops[gi])
@@ -564,23 +656,15 @@ def _split_apply_many(
         g_pops=state.g_pops.at[gi].set(
             jnp.sum(pair_cent.astype(jnp.int32), axis=-1)
         ),
-        g_count=state.g_count.at[gi].set(
-            sel(counts.reshape(2 * k), state.g_count[gi])
-        ),
+        g_count=state.g_count.at[gi].set(pair_counts),
         g_num=state.g_num + jnp.sum(active.astype(jnp.int32)),
     )
 
 
 @jax.jit
-def _pull_group_tiles(state: BatchState, gs: Array):
-    r"""One-dispatch fetch of K groups' tiles + CFs (host split pass)."""
-    return (
-        state.t_pk[gs],
-        state.t_pops[gs],
-        state.t_slot[gs],
-        state.g_ls[gs],
-        state.g_n[gs],
-    )
+def _max_group_count(state: BatchState) -> Array:
+    r"""Scalar pre-check for the split pass (one cheap device->host pull)."""
+    return jnp.max(state.g_count)
 
 
 @functools.partial(jax.jit, static_argnames=("n_features",))
@@ -758,42 +842,53 @@ class BatchTree:
         mols: list[list[int]],
         host_valid: np.ndarray,
     ) -> None:
-        r"""Run batch steps + host split passes until every row is assigned."""
+        r"""Run batch steps + host split passes until every row is assigned.
+
+        The happy path costs ONE device->host scalar (the pending count);
+        per-row assignments stay on device and are pulled lazily at
+        extraction time.
+        """
         m = self.batch_size
         row_ls, row_n, row_cent, row_pk, row_pop = rows
-        final_assigned = np.full(m, -1, dtype=np.int32)
+        n_valid = int(host_valid.sum())
+        final_assigned: np.ndarray | None = None
         active = None  # None = all rows
         for _attempt in range(64):
             self._ensure_capacity(m)
-            self.state, assigned = _batch_step(
+            self.state, assigned, n_pending = _batch_step(
                 self.state, row_ls, row_n, row_cent, row_pk, row_pop,
                 jnp.float32(self.threshold), jnp.float32(self.tolerance),
                 criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
             )
+            self._num_upper += n_valid
+            self._g_upper += n_valid
+            self._batches_since_split_check += 1
+            pending_count = int(n_pending)  # one scalar sync
+            if active is None and pending_count == 0:
+                # Fast path: defer the assignment pull to extraction time
+                self._row_slots.append((assigned, len(mols)))
+                self._row_mols.append(mols)
+                if self._batches_since_split_check >= self.split_interval:
+                    self._batches_since_split_check = 0
+                    self._split_oversized_groups()
+                return
+            # Slow path: pull, split, retry the unassigned rows
             assigned_np = np.asarray(assigned)
             if active is None:
                 final_assigned = assigned_np.copy()
             else:
                 final_assigned[active] = assigned_np[active]
-            self._num_upper += int(host_valid.sum())
-            self._g_upper += int(host_valid.sum())
+            self._batches_since_split_check = 0
+            self._split_oversized_groups()
             missing = (final_assigned == -1) & host_valid
-            self._batches_since_split_check += 1
-            if (
-                self._batches_since_split_check >= self.split_interval
-                or missing.any()
-            ):
-                self._batches_since_split_check = 0
-                self._split_oversized_groups()
             if not missing.any():
                 break
-            # Retry only the unassigned rows (mask the rest out)
             active = missing
             row_n = jnp.where(jnp.asarray(missing), row_n, 0)
         else:
             raise RuntimeError("batch engine failed to drain a batch")
-        self._row_slots.append(final_assigned[: len(mols)])
+        self._row_slots.append((final_assigned, len(mols)))
         self._row_mols.append(mols)
 
     # -- host control plane: group splits ------------------------------------
@@ -801,17 +896,14 @@ class BatchTree:
     def _split_oversized_groups(self) -> None:
         r"""Split any group whose cluster count exceeds ``fanout``.
 
-        Balanced variant of the reference node split: seeds are the
-        most-dissimilar pair of member centroids
-        (``bblean/bitbirch.py:190-211``); members are ranked by
-        (sim-to-seed1 - sim-to-seed2) and the top half joins seed 1.  The
-        balance keeps tile occupancy high, which the reference (pointer
-        lists) does not need but tiles do.
-
-        Host pulls only the group's tile (~tile * F/8 bytes) plus two (F,)
-        group sums — never the flat CF tables, which may be GBs.
+        The control plane only *detects* oversized groups (one small
+        ``g_count`` pull); the split itself — seed selection, balanced
+        partition, tile re-pack, CF bookkeeping — runs entirely on device in
+        one dispatch per pass (``_split_groups_device``).
         """
         k = 8  # splits per device call (static shape)
+        if int(_max_group_count(self.state)) <= self.fanout:
+            return
         for _ in range(64):
             g_count = np.asarray(self.state.g_count)[: self.num_groups]
             oversized = np.nonzero(g_count > self.fanout)[0]
@@ -819,100 +911,15 @@ class BatchTree:
                 return
             self._ensure_capacity(len(oversized))
             for start in range(0, len(oversized), k):
-                self._split_groups(oversized[start : start + k], k)
-
-    def _split_groups(self, groups: np.ndarray, k: int) -> None:
-        r"""Pull K group tiles, partition on host, apply all splits in one
-        device dispatch (static shapes; pads are idempotent no-ops)."""
-        tile, f8 = self.tile, self.n_bytes
-        guard_c = self.capacity - 1
-        n_real = len(groups)
-        gs = np.full(k, groups[0], dtype=np.int32)
-        gs[:n_real] = groups
-        active = np.zeros(k, dtype=bool)
-        active[:n_real] = True
-
-        pk_d, pops_d, slot_d, gls_d, gn_d = _pull_group_tiles(
-            self.state, jnp.asarray(gs)
-        )
-        all_slots = np.asarray(slot_d)
-        all_pk = np.asarray(pk_d)
-        all_pops = np.asarray(pops_d)
-        all_gls = np.asarray(gls_d)
-        all_gn = np.asarray(gn_d)
-
-        midx = np.full((k, tile), guard_c, dtype=np.int32)
-        to_new = np.zeros((k, tile), dtype=bool)
-        member_pos = np.zeros((k, tile), dtype=np.int32)
-        new_pk = np.zeros((k, 2, tile, f8), dtype=np.uint8)
-        new_pops = np.zeros((k, 2, tile), dtype=np.int32)
-        new_slot = np.full((k, 2, tile), -1, dtype=np.int32)
-        counts = np.zeros((k, 2), dtype=np.int32)
-
-        for row in range(n_real):
-            slots = all_slots[row]
-            occupied = slots >= 0
-            members = slots[occupied]
-            packed = all_pk[row][occupied]
-            cards = all_pops[row][occupied]
-
-            # Seeds: most-dissimilar pair via centroid -> fp1 -> fp2
-            group_cent = centroid_from_sum(
-                all_gls[row].astype(np.uint64),
-                max(int(all_gn[row]), 1),
-                pack=True,
-            )
-            sims_c = _jt_sim_packed_precalc_cardinalities(
-                packed, group_cent, cards
-            )
-            i1 = int(np.argmin(sims_c))
-            sims1 = _jt_sim_packed_precalc_cardinalities(
-                packed, packed[i1], cards
-            )
-            i2 = int(np.argmin(sims1))
-            sims2 = _jt_sim_packed_precalc_cardinalities(
-                packed, packed[i2], cards
-            )
-            # Balanced partition: top half by seed1-affinity moves out
-            margin = sims1 - sims2
-            margin[i1] = np.inf
-            margin[i2] = -np.inf
-            order = np.argsort(-margin, kind="stable")
-            half = len(members) // 2
-            move = np.zeros(len(members), dtype=bool)
-            move[order[:half]] = True
-
-            pos = np.empty(len(members), dtype=np.int32)
-            pos[move] = np.arange(int(move.sum()))
-            pos[~move] = np.arange(int((~move).sum()))
-
-            nm = len(members)
-            midx[row, :nm] = members
-            midx[row, nm:] = members[0]  # idempotent pad
-            to_new[row, :nm] = move
-            to_new[row, nm:] = move[0]
-            member_pos[row, :nm] = pos
-            member_pos[row, nm:] = pos[0]
-
-            for half_i, mask in enumerate((~move, move)):
-                sel = members[mask]
-                new_pk[row, half_i, : len(sel)] = packed[mask]
-                new_pops[row, half_i, : len(sel)] = cards[mask]
-                new_slot[row, half_i, : len(sel)] = sel
-                counts[row, half_i] = len(sel)
-
-        self.state = _split_apply_many(
-            self.state,
-            jnp.asarray(gs),
-            jnp.asarray(active),
-            jnp.asarray(midx),
-            jnp.asarray(to_new),
-            jnp.asarray(member_pos),
-            jnp.asarray(new_pk),
-            jnp.asarray(new_pops),
-            jnp.asarray(new_slot),
-            jnp.asarray(counts),
-        )
+                chunk = oversized[start : start + k]
+                gs = np.full(k, chunk[0], dtype=np.int32)
+                gs[: len(chunk)] = chunk
+                active = np.zeros(k, dtype=bool)
+                active[: len(chunk)] = True
+                self.state = _split_groups_device(
+                    self.state, jnp.asarray(gs), jnp.asarray(active)
+                )
+                self._g_upper += len(chunk)
 
     # -- extraction ----------------------------------------------------------
 
@@ -922,10 +929,29 @@ class BatchTree:
     def linear_sums(self) -> np.ndarray:
         return np.asarray(self.state.ls)[: self.num_clusters]
 
+    def _materialize_slots(self) -> None:
+        r"""Pull any deferred device-side assignment vectors in one batch."""
+        device_idx = [
+            i for i, s in enumerate(self._row_slots)
+            if not isinstance(s[0] if isinstance(s, tuple) else s, np.ndarray)
+        ]
+        if device_idx:
+            stacked = np.asarray(
+                jnp.stack([self._row_slots[i][0] for i in device_idx])
+            )
+            for row, i in enumerate(device_idx):
+                _, count = self._row_slots[i]
+                self._row_slots[i] = (stacked[row], count)
+        self._row_slots = [
+            (np.asarray(s[0])[: s[1]], s[1]) if isinstance(s, tuple) else s
+            for s in self._row_slots
+        ]
+
     def cluster_mols(self) -> list[list[int]]:
         r"""Molecule ids per cluster slot (slot order, not size order)."""
+        self._materialize_slots()
         out: list[list[int]] = [[] for _ in range(self.num_clusters)]
-        for slots, mols in zip(self._row_slots, self._row_mols):
+        for (slots, _count), mols in zip(self._row_slots, self._row_mols):
             for slot, mol_list in zip(slots, mols):
                 out[int(slot)].extend(mol_list)
         return out

@@ -67,7 +67,7 @@ def _scan_insert(
         row_cent = batch_fps.astype(jnp.bfloat16)
         row_pk = pack_fingerprints_device(batch_fps)
         row_pop = jnp.sum(row_ls, axis=-1)
-        state, assigned = _batch_step_impl(
+        state, assigned, _pending = _batch_step_impl(
             state, row_ls, row_n, row_cent, row_pk, row_pop, threshold,
             tolerance, criterion=criterion, block=block,
             max_rounds=max_rounds,
@@ -93,7 +93,7 @@ def _scan_insert_buffers(
         cent = majority_centroid_from_sums(row_ls, jnp.maximum(row_n, 1))
         row_pk = pack_fingerprints_device(cent)
         row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
-        state, assigned = _batch_step_impl(
+        state, assigned, _pending = _batch_step_impl(
             state, row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop,
             threshold, tolerance, criterion=criterion, block=block,
             max_rounds=max_rounds,
