@@ -252,6 +252,7 @@ def _batch_step_impl(
     criterion: str,
     block: int,
     max_rounds: int,
+    use_pallas: bool = False,
 ) -> tuple[BatchState, Array]:
     r"""Insert one batch of CF rows.
 
@@ -280,10 +281,18 @@ def _batch_step_impl(
         )
 
         # ---- 2. in-group candidate search (VPU over packed tiles) ----
-        best_sim, best = _search_tiles(
-            row_pk, row_pop, row_group, state.t_pk, state.t_pops,
-            state.t_slot, pending,
-        )
+        if use_pallas:
+            from bblean_tpu.ops.pallas_search import tile_search_pallas
+
+            best_sim, best = tile_search_pallas(
+                row_pk, row_pop, row_group, state.t_pk, state.t_pops,
+                state.t_slot, pending,
+            )
+        else:
+            best_sim, best = _search_tiles(
+                row_pk, row_pop, row_group, state.t_pk, state.t_pops,
+                state.t_slot, pending,
+            )
         has_cand = best_sim > -1.5
 
         # ---- 3. individual merge evaluation ----
@@ -487,7 +496,7 @@ def _batch_step_impl(
 # SPMD sharded program (bblean_tpu.parallel.sharded)
 _batch_step = functools.partial(
     jax.jit,
-    static_argnames=("criterion", "block", "max_rounds"),
+    static_argnames=("criterion", "block", "max_rounds", "use_pallas"),
     donate_argnums=(0,),
 )(_batch_step_impl)
 
@@ -709,6 +718,7 @@ class BatchTree:
         initial_capacity: int = 8192,
         route_block: int = 1024,
         max_rounds: int = 24,
+        use_pallas_search: bool = False,
     ) -> None:
         if fanout >= tile:
             raise ValueError("fanout must be < tile (headroom for creations)")
@@ -722,6 +732,9 @@ class BatchTree:
         self.tile = tile
         self.route_block = route_block
         self.max_rounds = max_rounds
+        # The fused Pallas search is bit-identical but currently slower than
+        # the XLA gather path on v5e (see ops/pallas_search.py); opt-in
+        self.use_pallas_search = use_pallas_search
         self.capacity = _next_pow2(
             max(initial_capacity, 2 * batch_size + 1)
         )
@@ -860,6 +873,7 @@ class BatchTree:
                 jnp.float32(self.threshold), jnp.float32(self.tolerance),
                 criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
+                use_pallas=self.use_pallas_search,
             )
             self._num_upper += n_valid
             self._g_upper += n_valid
