@@ -10,9 +10,12 @@ Differences by design:
 
 - The tree state is flat (id-indexed pools) rather than a recursive object
   graph, so ``save``/``load`` need no recursion-limit manipulation.
-- ``engine="batch"`` (see ``bblean_tpu.engine.batch``) runs the TPU-native
-  level-synchronous batched engine instead; it trades bit-exact label parity
-  for device-scale throughput.
+- The insert loop runs in the native C++ engine when built
+  (``bblean_tpu.engine.native``; disable with ``BBLEAN_TPU_NO_EXTENSIONS=1``)
+  — bit-identical labels either way.
+- The TPU-native batched engine is a separate class
+  (``bblean_tpu.engine.batch.BatchTree``; ``bb run --engine batch``): it
+  trades bit-exact label parity for device-scale throughput.
 """
 
 from __future__ import annotations
