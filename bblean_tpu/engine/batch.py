@@ -304,35 +304,49 @@ def _batch_step_impl(
         )
         accept = accept & pending & has_cand
 
-        # ---- conflict groups among accepted rows (same candidate) ----
+        # ---- conflict resolution: serial prefix commits per candidate ----
+        # Rows accepted toward the same cluster are ordered by row index and
+        # committed as the longest prefix for which EVERY cumulative merge
+        # still satisfies the criterion — exactly the serial outcome for a
+        # same-cluster insertion queue, resolved in one round (winner-only
+        # fallbacks drain a queue of Q rows in Q rounds)
         akey = jnp.where(accept, best, big)
         aorder, agrp, astart = _group_ids_by_key(akey)
         a_ok = accept[aorder]
         s_ls = jnp.where(a_ok[:, None], row_ls[aorder], 0)
         s_n = jnp.where(a_ok, row_n[aorder], 0)
-        gsum_ls = jax.ops.segment_sum(s_ls, agrp, num_segments=m)
-        gsum_n = jax.ops.segment_sum(s_n, agrp, num_segments=m)
-        gcand = jnp.maximum(
-            jax.ops.segment_max(
-                jnp.where(a_ok, best[aorder], 0), agrp, num_segments=m
-            ),
-            0,  # empty segments come back as int32-min
-        )
-        gvalid = jax.ops.segment_max(
-            a_ok.astype(jnp.int32), agrp, num_segments=m
-        ).astype(bool)
-        gc_ls = state.ls[gcand]
-        gc_n = state.n[gcand]
-        gaccept = (
+        iota_m = row_idx  # 0..m-1
+        # Per-row index of its segment's first sorted position
+        seg_start = lax.cummax(jnp.where(astart, iota_m, 0))
+        # Inclusive cumulative sums within each segment
+        cum_ls = jnp.cumsum(s_ls, axis=0)
+        cum_n = jnp.cumsum(s_n)
+        excl_ls = cum_ls - s_ls
+        excl_n = cum_n - s_n
+        base_ls = excl_ls[seg_start]
+        base_n = excl_n[seg_start]
+        pre_ls = excl_ls - base_ls  # sum of earlier rows in the segment
+        pre_n = excl_n - base_n
+        cand_ls_s = cand_ls[aorder]
+        cand_n_s = cand_n[aorder]
+        new_ls_s = cand_ls_s + pre_ls + s_ls
+        new_n_s = cand_n_s + pre_n + s_n
+        acc_pref = (
             merge_accept_batch(
-                criterion, threshold, gc_ls + gsum_ls, gc_n + gsum_n, gc_ls,
-                gc_n, gsum_n, tolerance=tolerance,
+                criterion, threshold, new_ls_s, new_n_s,
+                cand_ls_s + pre_ls, cand_n_s + pre_n, s_n,
+                tolerance=tolerance,
             )
-            & gvalid
+            & a_ok
         )
-        winner = jnp.zeros((m,), bool).at[aorder].set(astart & a_ok)
-        group_ok = jnp.zeros((m,), bool).at[aorder].set(gaccept[agrp])
-        merge_commit = accept & (group_ok | winner)
+        # Longest all-accepted prefix: cumulative count equals local rank + 1
+        acc_cum = jnp.cumsum(acc_pref.astype(jnp.int32))
+        acc_base = (acc_cum - acc_pref.astype(jnp.int32))[seg_start]
+        rank = iota_m - seg_start
+        committed_sorted = acc_pref & (
+            acc_cum - acc_base == rank + 1
+        )
+        merge_commit = jnp.zeros((m,), bool).at[aorder].set(committed_sorted)
 
         # ---- 4. leader election among rejected rows (per routed group) ----
         rejected = pending & ~accept
@@ -382,19 +396,23 @@ def _batch_step_impl(
         ) | (gj_n <= 1)
         join_ok = jnp.zeros((m,), bool).at[jorder].set(gj_ok[jgrp])
         join_commit = join & join_ok
+        # Followers of a non-cohesive would-be cluster become creators in the
+        # SAME round (waiting a round to re-elect costs a full round of the
+        # while loop for no quality gain)
+        creator = leader | (join & ~join_ok)
 
         # ---- 5. tile positions for new clusters (per-group, index order);
         # creations into full tiles open a fresh overflow group so the step
         # always makes progress (host splits rebalance later) ----
-        ckey = jnp.where(leader, row_group, big)
+        ckey = jnp.where(creator, row_group, big)
         corder, cgrp, _cstart = _group_ids_by_key(ckey)
-        crank_sorted = _segment_rank(cgrp, leader[corder])
+        crank_sorted = _segment_rank(cgrp, creator[corder])
         crank = jnp.zeros((m,), jnp.int32).at[corder].set(crank_sorted)
         new_pos = state.g_count[row_group] + crank
         # Creations beyond the tile open fresh groups, packed densely in
         # chunks of `tile` per routed group (not one group per leader)
         chunk = new_pos // tile  # 0 = fits the routed group's tile
-        chunk_sorted = jnp.where(leader[corder], chunk[corder], 0)
+        chunk_sorted = jnp.where(creator[corder], chunk[corder], 0)
         # segment_max fills EMPTY segments with int32-min: clamp to 0
         seg_new = jnp.maximum(
             jax.ops.segment_max(chunk_sorted, cgrp, num_segments=m), 0
@@ -403,10 +421,9 @@ def _batch_step_impl(
         seg_of_row = jnp.zeros((m,), jnp.int32).at[corder].set(cgrp)
         over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
         fits = chunk == 0
-        overflow = leader & ~fits
         tgt_group = jnp.where(fits, row_group, over_group)
         tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
-        create_commit = leader
+        create_commit = creator
 
         lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
         new_slot = state.num + lead_rank
@@ -486,10 +503,10 @@ def _batch_step_impl(
     pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
     force0 = jnp.zeros((m,), bool)
-    state, pending, assigned, _force, _ = lax.while_loop(
+    state, pending, assigned, _force, rounds = lax.while_loop(
         cond, round_body, (state, pending0, assigned0, force0, jnp.int32(0))
     )
-    return state, assigned, jnp.sum(pending.astype(jnp.int32))
+    return state, assigned, jnp.sum(pending.astype(jnp.int32)) * 1000 + rounds
 
 
 # Jitted entry used by the host driver; the raw impl is reused inside the
@@ -800,19 +817,33 @@ class BatchTree:
     def fit_packed(
         self, packed_fps: np.ndarray | Array, mol_indices: tp.Sequence[int]
     ) -> None:
-        r"""Insert packed fingerprints (uploaded to HBM once, prepped on
-        device) — the fast path for large datasets."""
-        dev_fps = jnp.asarray(packed_fps, dtype=jnp.uint8)
+        r"""Insert packed fingerprints — the fast path for large datasets.
+
+        Host->device transfers are chunked per batch and started one batch
+        ahead (``jax.device_put`` is async), so the upload overlaps the
+        previous batch's insert rounds instead of serializing in front of
+        the whole fit.
+        """
         num = len(packed_fps)
         mols = [[int(i)] for i in mol_indices]
         m = self.batch_size
+        if not isinstance(packed_fps, np.ndarray):
+            packed_fps = np.asarray(packed_fps)
+
+        def upload(start: int) -> Array | None:
+            stop = min(start + m, num)
+            if stop <= start:
+                return None
+            chunk = packed_fps[start:stop]
+            if stop - start < m:
+                chunk = np.pad(chunk, ((0, m - (stop - start)), (0, 0)))
+            return jax.device_put(np.ascontiguousarray(chunk))
+
+        next_chunk = upload(0)
         for start in range(0, num, m):
             stop = min(start + m, num)
-            chunk = lax.dynamic_slice_in_dim(
-                dev_fps, start, m, 0
-            ) if stop - start == m else jnp.pad(
-                dev_fps[start:stop], ((0, m - (stop - start)), (0, 0))
-            )
+            chunk = next_chunk
+            next_chunk = upload(start + m)  # async prefetch of the next batch
             valid = np.zeros(m, bool)
             valid[: stop - start] = True
             rows = _prep_fp_rows(chunk, jnp.asarray(valid), self.n_features)
