@@ -693,6 +693,28 @@ def _max_group_count(state: BatchState) -> Array:
     return jnp.max(state.g_count)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "n_features"))
+def _slice_prep_fp_rows(
+    dev_fps: Array, start: Array, n_valid: Array, m: int, n_features: int
+):
+    r"""Fused dynamic-slice + unpack + CF-row prep for HBM-resident fps.
+
+    One compiled program for every batch offset (python ``arr[a:b]`` slicing
+    would specialize a new program per offset).  ``dev_fps`` must already be
+    padded to a multiple of ``m`` rows.
+    """
+    packed = lax.dynamic_slice_in_dim(dev_fps, start, m, axis=0)
+    rank = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    valid = rank < n_valid
+    bits = unpack_fingerprints_device(packed, n_features)
+    row_ls = jnp.where(valid[:, None], bits.astype(jnp.int32), 0)
+    row_n = valid.astype(jnp.int32)
+    row_cent = row_ls.astype(jnp.bfloat16)
+    row_pk = jnp.where(valid[:, None], packed, 0)
+    row_pop = jnp.sum(row_ls, axis=-1)
+    return row_ls, row_n, row_cent, row_pk, row_pop
+
+
 @functools.partial(jax.jit, static_argnames=("n_features",))
 def _prep_fp_rows(packed: Array, valid: Array, n_features: int):
     r"""Device-side CF-row prep from packed fingerprints (n = 1 rows)."""
@@ -774,7 +796,7 @@ class BatchTree:
         # check is a device round-trip); overflow chunking keeps un-split
         # groups correct in between
         self.split_interval = 4
-        self._batches_since_split_check = 0
+        self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
         self._row_mols: list[list[list[int]]] = []
@@ -819,15 +841,19 @@ class BatchTree:
     ) -> None:
         r"""Insert packed fingerprints — the fast path for large datasets.
 
-        Host->device transfers are chunked per batch and started one batch
-        ahead (``jax.device_put`` is async), so the upload overlaps the
-        previous batch's insert rounds instead of serializing in front of
-        the whole fit.
+        Device-resident inputs are sliced in HBM (one fused jitted
+        slice+prep dispatch per batch); host arrays are uploaded chunk-by-
+        chunk one batch ahead so transfers overlap the insert rounds.
         """
         num = len(packed_fps)
         mols = [[int(i)] for i in mol_indices]
         m = self.batch_size
-        if not isinstance(packed_fps, np.ndarray):
+        on_device = isinstance(packed_fps, jax.Array)
+        if on_device and num % m:
+            # Pad once so every fused slice is full (alignment of the last
+            # partial batch)
+            packed_fps = jnp.pad(packed_fps, ((0, m - num % m), (0, 0)))
+        if not on_device and not isinstance(packed_fps, np.ndarray):
             packed_fps = np.asarray(packed_fps)
 
         def upload(start: int) -> Array | None:
@@ -839,15 +865,28 @@ class BatchTree:
                 chunk = np.pad(chunk, ((0, m - (stop - start)), (0, 0)))
             return jax.device_put(np.ascontiguousarray(chunk))
 
-        next_chunk = upload(0)
+        next_chunk = None if on_device else upload(0)
         for start in range(0, num, m):
             stop = min(start + m, num)
-            chunk = next_chunk
-            next_chunk = upload(start + m)  # async prefetch of the next batch
-            valid = np.zeros(m, bool)
-            valid[: stop - start] = True
-            rows = _prep_fp_rows(chunk, jnp.asarray(valid), self.n_features)
-            self._step_until_done(rows, mols[start:stop], valid)
+            n_valid = stop - start
+            if on_device:
+                # One dispatch: dynamic slice + unpack + row prep (a python
+                # `arr[start:stop]` would compile a new program per offset)
+                rows = _slice_prep_fp_rows(
+                    packed_fps, start, n_valid, m, self.n_features
+                )
+            else:
+                chunk = next_chunk
+                next_chunk = upload(start + m)  # async prefetch
+                valid = np.zeros(m, bool)
+                valid[:n_valid] = True
+                rows = _prep_fp_rows(
+                    chunk, jnp.asarray(valid), self.n_features
+                )
+            host_valid = np.zeros(m, bool)
+            host_valid[:n_valid] = True
+            self._submit_batch(rows, mols[start:stop], host_valid)
+        self.flush()
 
     def insert_fps(
         self, unpacked_fps: np.ndarray, mol_indices: tp.Sequence[int]
@@ -878,63 +917,86 @@ class BatchTree:
             rows = _prep_buffer_rows(
                 jnp.asarray(chunk_ls), jnp.asarray(chunk_n)
             )
-            self._step_until_done(rows, mols[start:stop], chunk_n > 0)
+            self._submit_batch(rows, mols[start:stop], chunk_n > 0)
+        self.flush()
 
-    def _step_until_done(
+    def _submit_batch(
         self,
         rows: tuple[Array, ...],
         mols: list[list[int]],
         host_valid: np.ndarray,
     ) -> None:
-        r"""Run batch steps + host split passes until every row is assigned.
+        r"""Dispatch one batch without any device->host sync.
 
-        The happy path costs ONE device->host scalar (the pending count);
-        per-row assignments stay on device and are pulled lazily at
-        extraction time.
+        Pending-row checks and split passes are deferred to boundaries every
+        ``split_interval`` batches (each sync costs ~25 ms through the TPU
+        tunnel); rows that exhausted their in-step rounds are retried at the
+        boundary against the then-current state.
         """
         m = self.batch_size
-        row_ls, row_n, row_cent, row_pk, row_pop = rows
+        self._ensure_capacity(m)
+        self.state, assigned, enc = _batch_step(
+            self.state, *rows,
+            jnp.float32(self.threshold), jnp.float32(self.tolerance),
+            criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds,
+            use_pallas=self.use_pallas_search,
+        )
         n_valid = int(host_valid.sum())
-        final_assigned: np.ndarray | None = None
-        active = None  # None = all rows
+        self._num_upper += n_valid
+        self._g_upper += n_valid
+        self._row_slots.append((assigned, len(mols)))
+        self._row_mols.append(mols)
+        self._boundary_queue.append(
+            {
+                "slot_idx": len(self._row_slots) - 1,
+                "rows": rows,
+                "host_valid": host_valid,
+                "enc": enc,
+            }
+        )
+        if len(self._boundary_queue) >= self.split_interval:
+            self.flush()
+
+    def flush(self) -> None:
+        r"""Process the deferred boundary: pending retries + split pass."""
+        queue, self._boundary_queue = self._boundary_queue, []
+        if queue:
+            encs = np.asarray(jnp.stack([q["enc"] for q in queue]))
+            pendings = encs // 1000  # enc = pending * 1000 + rounds
+            for q, pending in zip(queue, pendings):
+                if pending > 0:
+                    self._retry_batch(q)
+        self._split_oversized_groups()
+
+    def _retry_batch(self, q: dict) -> None:
+        r"""Drain a batch whose step exhausted max_rounds (rare): split, mask
+        the already-assigned rows, re-step until done."""
+        row_ls, row_n, row_cent, row_pk, row_pop = q["rows"]
+        host_valid = q["host_valid"]
+        assigned_dev, count = self._row_slots[q["slot_idx"]]
+        final_assigned = np.array(np.asarray(assigned_dev))
         for _attempt in range(64):
-            self._ensure_capacity(m)
-            self.state, assigned, n_pending = _batch_step(
+            missing = (final_assigned == -1) & host_valid
+            if not missing.any():
+                break
+            self._split_oversized_groups()
+            row_n = jnp.where(jnp.asarray(missing), row_n, 0)
+            self._ensure_capacity(self.batch_size)
+            self.state, assigned, _enc = _batch_step(
                 self.state, row_ls, row_n, row_cent, row_pk, row_pop,
                 jnp.float32(self.threshold), jnp.float32(self.tolerance),
                 criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
                 use_pallas=self.use_pallas_search,
             )
-            self._num_upper += n_valid
-            self._g_upper += n_valid
-            self._batches_since_split_check += 1
-            pending_count = int(n_pending)  # one scalar sync
-            if active is None and pending_count == 0:
-                # Fast path: defer the assignment pull to extraction time
-                self._row_slots.append((assigned, len(mols)))
-                self._row_mols.append(mols)
-                if self._batches_since_split_check >= self.split_interval:
-                    self._batches_since_split_check = 0
-                    self._split_oversized_groups()
-                return
-            # Slow path: pull, split, retry the unassigned rows
+            self._num_upper += int(missing.sum())
+            self._g_upper += int(missing.sum())
             assigned_np = np.asarray(assigned)
-            if active is None:
-                final_assigned = assigned_np.copy()
-            else:
-                final_assigned[active] = assigned_np[active]
-            self._batches_since_split_check = 0
-            self._split_oversized_groups()
-            missing = (final_assigned == -1) & host_valid
-            if not missing.any():
-                break
-            active = missing
-            row_n = jnp.where(jnp.asarray(missing), row_n, 0)
+            final_assigned[missing] = assigned_np[missing]
         else:
             raise RuntimeError("batch engine failed to drain a batch")
-        self._row_slots.append((final_assigned, len(mols)))
-        self._row_mols.append(mols)
+        self._row_slots[q["slot_idx"]] = (final_assigned, count)
 
     # -- host control plane: group splits ------------------------------------
 
@@ -969,9 +1031,11 @@ class BatchTree:
     # -- extraction ----------------------------------------------------------
 
     def cluster_sizes(self) -> np.ndarray:
+        self.flush()
         return np.asarray(self.state.n)[: self.num_clusters]
 
     def linear_sums(self) -> np.ndarray:
+        self.flush()
         return np.asarray(self.state.ls)[: self.num_clusters]
 
     def _materialize_slots(self) -> None:
@@ -994,6 +1058,7 @@ class BatchTree:
 
     def cluster_mols(self) -> list[list[int]]:
         r"""Molecule ids per cluster slot (slot order, not size order)."""
+        self.flush()
         self._materialize_slots()
         out: list[list[int]] = [[] for _ in range(self.num_clusters)]
         for (slots, _count), mols in zip(self._row_slots, self._row_mols):
