@@ -421,9 +421,14 @@ def _batch_step_impl(
         seg_of_row = jnp.zeros((m,), jnp.int32).at[corder].set(cgrp)
         over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
         fits = chunk == 0
+        # Rows whose overflow group would exceed capacity pend; the host
+        # grows the tables and retries (keeps capacity checks sync-free)
+        g_cap_arr = state.g_ls.shape[0]
+        fits_g = fits | (over_group < g_cap_arr - 1)
         tgt_group = jnp.where(fits, row_group, over_group)
         tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
-        create_commit = creator
+        create_commit = creator & fits_g
+        join_commit = join_commit & fits_g[lead_of]
 
         lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
         new_slot = state.num + lead_rank
@@ -445,7 +450,9 @@ def _batch_step_impl(
         ls = state.ls.at[upd_slot].add(add_ls)
         n = state.n.at[upd_slot].add(add_n)
         num = state.num + jnp.sum(create_commit.astype(jnp.int32))
-        g_num = state.g_num + jnp.sum(seg_new)
+        g_num = jnp.minimum(
+            state.g_num + jnp.sum(seg_new), jnp.int32(g_cap_arr - 1)
+        )
         cg = state.group.at[
             jnp.where(create_commit, new_slot, guard_c)
         ].set(jnp.where(create_commit, tgt_group, state.group[guard_c]))
@@ -456,47 +463,48 @@ def _batch_step_impl(
             jnp.where(create_commit, tgt_group, guard_g)
         ].add(jnp.where(create_commit, 1, 0))
 
-        # ---- 7. refresh packed-centroid tiles of touched clusters ----
-        t_ls = ls[upd_slot]
-        t_n = n[upd_slot]
-        t_cent = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
-        t_packed = pack_fingerprints_device(t_cent)
-        t_posn = jnp.where(commit, cpos[upd_slot], tile - 1)
-        t_grp = jnp.where(commit, cg[upd_slot], guard_g)
-        t_pk = state.t_pk.at[t_grp, t_posn].set(
-            jnp.where(commit[:, None], t_packed, state.t_pk[t_grp, t_posn])
+        # ---- 7. write tile entries for CREATED clusters only.  Merged
+        # clusters keep a slightly stale tile centroid within this step; the
+        # post-loop refresh rebuilds every live tile entry from the CF truth
+        # (recomputing gathered centroids every round cost ~10 ms/round) ----
+        gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(gj_ls[jgrp])
+        gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(gj_n[jgrp])
+        created_ls = jnp.where(
+            (join_ok & fits)[:, None], gj_full_ls, row_ls
         )
-        t_pops = state.t_pops.at[t_grp, t_posn].set(
-            jnp.where(
-                commit,
-                jnp.sum(t_cent.astype(jnp.int32), axis=-1),
-                state.t_pops[t_grp, t_posn],
-            )
+        created_n = jnp.where(join_ok & fits, gj_full_n, row_n)
+        c_cent = majority_centroid_from_sums(
+            created_ls, jnp.maximum(created_n, 1)
         )
+        c_packed = pack_fingerprints_device(c_cent)
         ts_g = jnp.where(create_commit, tgt_group, guard_g)
         ts_p = jnp.where(create_commit, tgt_pos, tile - 1)
+        t_pk = state.t_pk.at[ts_g, ts_p].set(
+            jnp.where(create_commit[:, None], c_packed, state.t_pk[ts_g, ts_p])
+        )
+        t_pops = state.t_pops.at[ts_g, ts_p].set(
+            jnp.where(
+                create_commit,
+                jnp.sum(c_cent.astype(jnp.int32), axis=-1),
+                state.t_pops[ts_g, ts_p],
+            )
+        )
         t_slot = state.t_slot.at[ts_g, ts_p].set(
             jnp.where(create_commit, new_slot, state.t_slot[ts_g, ts_p])
         )
 
-        # ---- 8. fold committed rows into their group CFs ----
+        # ---- 8. fold committed rows into their group CFs (centroids are
+        # refreshed once after the loop) ----
         row_g_slot = jnp.where(commit, cg[upd_slot], guard_g)
         g_ls = state.g_ls.at[row_g_slot].add(add_ls)
         g_n = state.g_n.at[row_g_slot].add(add_n)
-        tg_cent = majority_centroid_from_sums(
-            g_ls[row_g_slot], jnp.maximum(g_n[row_g_slot], 1)
-        ).astype(jnp.bfloat16)
-        g_cent = state.g_cent.at[row_g_slot].set(tg_cent)
-        g_pops = state.g_pops.at[row_g_slot].set(
-            jnp.sum(tg_cent.astype(jnp.int32), axis=-1)
-        )
 
         assigned = jnp.where(commit, slot_of_row, assigned)
         pending = pending & ~commit
         next_force = pending & (join | (leader & ~create_commit) | force_lead)
         new_state = BatchState(
             ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
-            g_ls, g_n, g_cent, g_pops, g_count, g_num,
+            g_ls, g_n, state.g_cent, state.g_pops, g_count, g_num,
         )
         return (new_state, pending, assigned, next_force, r + 1)
 
@@ -506,7 +514,46 @@ def _batch_step_impl(
     state, pending, assigned, _force, rounds = lax.while_loop(
         cond, round_body, (state, pending0, assigned0, force0, jnp.int32(0))
     )
+    state = _refresh_touched(state, assigned)
     return state, assigned, jnp.sum(pending.astype(jnp.int32)) * 1000 + rounds
+
+
+def _refresh_touched(state: BatchState, assigned: Array) -> BatchState:
+    r"""Refresh derived tables (tile + routing centroids) for the clusters
+    and groups this step committed to — once per step, not per round."""
+    tile = state.t_pk.shape[1]
+    guard_c = state.ls.shape[0] - 1
+    guard_g = state.g_ls.shape[0] - 1
+
+    ok = assigned >= 0
+    slots = jnp.where(ok, assigned, guard_c)
+    t_ls = state.ls[slots]
+    t_n = state.n[slots]
+    cents = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
+    pk = pack_fingerprints_device(cents)
+    pops = jnp.sum(cents.astype(jnp.int32), axis=-1)
+    tg = jnp.where(ok, state.group[slots], guard_g)
+    tp = jnp.where(ok, state.pos[slots], tile - 1)
+    t_pk = state.t_pk.at[tg, tp].set(
+        jnp.where(ok[:, None], pk, state.t_pk[tg, tp])
+    )
+    t_pops = state.t_pops.at[tg, tp].set(
+        jnp.where(ok, pops, state.t_pops[tg, tp])
+    )
+
+    g_slots = tg  # (M,) touched groups (guard for unassigned rows)
+    g_cents = majority_centroid_from_sums(
+        state.g_ls[g_slots], jnp.maximum(state.g_n[g_slots], 1)
+    ).astype(jnp.bfloat16)
+    g_cent = state.g_cent.at[g_slots].set(
+        jnp.where(ok[:, None], g_cents, state.g_cent[g_slots])
+    )
+    g_pops = state.g_pops.at[g_slots].set(
+        jnp.where(ok, jnp.sum(g_cents.astype(jnp.int32), -1), state.g_pops[g_slots])
+    )
+    return state._replace(
+        t_pk=t_pk, t_pops=t_pops, g_cent=g_cent, g_pops=g_pops
+    )
 
 
 # Jitted entry used by the host driver; the raw impl is reused inside the
@@ -796,6 +843,7 @@ class BatchTree:
         # check is a device round-trip); overflow chunking keeps un-split
         # groups correct in between
         self.split_interval = 4
+        self.split_k = 32  # oversized groups split per device dispatch
         self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
@@ -944,7 +992,10 @@ class BatchTree:
         )
         n_valid = int(host_valid.sum())
         self._num_upper += n_valid
-        self._g_upper += n_valid
+        # Creations open at most ceil(n/tile) densely-packed chunk groups per
+        # routed group; in-step clamping pends anything beyond capacity, so
+        # this loose bound is safe
+        self._g_upper += max(16, 4 * (n_valid // self.tile + 1))
         self._row_slots.append((assigned, len(mols)))
         self._row_mols.append(mols)
         self._boundary_queue.append(
@@ -1008,7 +1059,7 @@ class BatchTree:
         partition, tile re-pack, CF bookkeeping — runs entirely on device in
         one dispatch per pass (``_split_groups_device``).
         """
-        k = 8  # splits per device call (static shape)
+        k = self.split_k  # splits per device call (static shape)
         if int(_max_group_count(self.state)) <= self.fanout:
             return
         for _ in range(64):
