@@ -108,6 +108,7 @@ enum Criterion {
 struct Sub {
     std::vector<uint32_t> ls;   // linear sum, one entry per feature
     int64_t n = 0;
+    int64_t card = 0;           // popcount of the packed centroid
     std::vector<uint8_t> cent;  // packed majority centroid
     int32_t child = -1;         // node id, -1 for leaf subclusters
     uint8_t creation_code = 1;  // bytes of the creating buffer's dtype
@@ -118,6 +119,7 @@ struct Sub {
 struct Node {
     std::vector<int32_t> subs;
     std::vector<uint8_t> cent_buf;  // (B + 1) * n_bytes packed centroids
+    std::vector<int64_t> cards;     // cached centroid popcounts (per entry)
     int32_t prev = -1;              // leaf linked list; -1 = not a leaf
     int32_t next = -1;
 };
@@ -153,20 +155,28 @@ struct Tree {
         nodes[root].prev = dummy;
     }
 
-    // Majority-vote centroid (packed) from a subcluster's CF
-    void pack_centroid(const std::vector<uint32_t>& ls, int64_t n,
-                       std::vector<uint8_t>& out) const {
+    // Majority-vote centroid (packed) from a subcluster's CF; returns its
+    // popcount so callers can maintain cardinality caches for free
+    int64_t pack_centroid(const std::vector<uint32_t>& ls, int64_t n,
+                          std::vector<uint8_t>& out) const {
         out.assign(n_bytes, 0);
+        int64_t card = 0;
         if (n <= 1) {
             for (int64_t f = 0; f < n_features; ++f) {
-                if (ls[f]) out[f >> 3] |= uint8_t(0x80u >> (f & 7));
+                if (ls[f]) {
+                    out[f >> 3] |= uint8_t(0x80u >> (f & 7));
+                    ++card;
+                }
             }
         } else {
             for (int64_t f = 0; f < n_features; ++f) {
-                if (int64_t(ls[f]) * 2 >= n)
+                if (int64_t(ls[f]) * 2 >= n) {
                     out[f >> 3] |= uint8_t(0x80u >> (f & 7));
+                    ++card;
+                }
             }
         }
+        return card;
     }
 
     double isim(const std::vector<uint32_t>& ls, int64_t n) const {
@@ -265,7 +275,9 @@ struct Tree {
         return false;
     }
 
-    // First-occurrence argmax of Tanimoto(node centroids, probe)
+    // First-occurrence argmax of Tanimoto(node centroids, probe); uses the
+    // per-node cardinality cache (recomputing popcounts per entry per insert
+    // doubled the kernel cost)
     int64_t closest_in_node(const Node& nd, const uint8_t* probe,
                             int64_t probe_card) {
         int64_t best = 0;
@@ -273,8 +285,7 @@ struct Tree {
         for (size_t i = 0; i < nd.subs.size(); ++i) {
             const uint8_t* cent = nd.cent_buf.data() + i * n_bytes;
             int64_t inter = and_popcount_bytes(cent, probe, n_bytes);
-            int64_t card = popcount_bytes(cent, n_bytes);
-            double sim = tanimoto_from_counts(inter, card, probe_card);
+            double sim = tanimoto_from_counts(inter, nd.cards[i], probe_card);
             if (sim > best_sim) {
                 best_sim = sim;
                 best = int64_t(i);
@@ -287,6 +298,7 @@ struct Tree {
         Node& nd = nodes[node_id];
         std::memcpy(nd.cent_buf.data() + nd.subs.size() * n_bytes,
                     subs[sid].cent.data(), n_bytes);
+        nd.cards.push_back(subs[sid].card);
         nd.subs.push_back(sid);
     }
 
@@ -297,7 +309,7 @@ struct Tree {
         for (int64_t f = 0; f < n_features; ++f) e.ls[f] += s.ls[f];
         e.n += s.n;
         e.mutated = true;
-        pack_centroid(e.ls, e.n, e.cent);
+        e.card = pack_centroid(e.ls, e.n, e.cent);
     }
 
     // Most-dissimilar pair over a node's centroids, and the balanced-vs-
@@ -328,11 +340,7 @@ struct Tree {
         std::vector<uint8_t> seed;
         pack_centroid(sum, int64_t(count), seed);
 
-        std::vector<int64_t> cards(count);
-        for (size_t i = 0; i < count; ++i) {
-            cards[i] = popcount_bytes(node2.cent_buf.data() + i * n_bytes,
-                                      n_bytes);
-        }
+        const std::vector<int64_t>& cards = node2.cards;
         int64_t seed_card = popcount_bytes(seed.data(), n_bytes);
 
         // fp1: least similar to the centroid (first-occurrence argmin)
@@ -371,6 +379,7 @@ struct Tree {
         // Redistribute; node1 gets strictly-closer members plus seed 1
         std::vector<int32_t> old_subs;
         old_subs.swap(nodes[node2_id].subs);
+        nodes[node2_id].cards.clear();
 
         int32_t sc1 = int32_t(subs.size());
         subs.emplace_back();
@@ -393,8 +402,8 @@ struct Tree {
             for (int64_t f = 0; f < n_features; ++f) t.ls[f] += m.ls[f];
             t.n += m.n;
         }
-        pack_centroid(subs[sc1].ls, subs[sc1].n, subs[sc1].cent);
-        pack_centroid(subs[sc2].ls, subs[sc2].n, subs[sc2].cent);
+        subs[sc1].card = pack_centroid(subs[sc1].ls, subs[sc1].n, subs[sc1].cent);
+        subs[sc2].card = pack_centroid(subs[sc2].ls, subs[sc2].n, subs[sc2].cent);
         *out_sc1 = sc1;
         *out_sc2 = sc2;
     }
@@ -410,7 +419,7 @@ struct Tree {
         c.ls.swap(new_ls);
         c.n = new_n;
         c.mutated = true;
-        pack_centroid(c.ls, c.n, c.cent);
+        c.card = pack_centroid(c.ls, c.n, c.cent);
         c.mols.insert(c.mols.end(), s.mols.begin(), s.mols.end());
         return true;
     }
@@ -442,6 +451,7 @@ struct Tree {
             if (try_merge(closest_id, sid)) {
                 std::memcpy(leaf.cent_buf.data() + closest * n_bytes,
                             subs[closest_id].cent.data(), n_bytes);
+                leaf.cards[closest] = subs[closest_id].card;
                 must_split = false;
             } else {
                 append_sub(node_id, sid);
@@ -459,6 +469,7 @@ struct Tree {
                 nodes[pnode].subs[pidx] = sc1;
                 std::memcpy(nodes[pnode].cent_buf.data() + pidx * n_bytes,
                             subs[sc1].cent.data(), n_bytes);
+                nodes[pnode].cards[pidx] = subs[sc1].card;
                 append_sub(pnode, sc2);
                 must_split = int64_t(nodes[pnode].subs.size()) > branching;
             } else {
@@ -466,6 +477,7 @@ struct Tree {
                 cf_add(entry, sid);
                 std::memcpy(nodes[pnode].cent_buf.data() + pidx * n_bytes,
                             subs[entry].cent.data(), n_bytes);
+                nodes[pnode].cards[pidx] = subs[entry].card;
             }
         }
         if (must_split) {
@@ -611,6 +623,7 @@ void bb_tree_insert_packed(void* handle, const uint8_t* fps, int64_t n_rows,
             s.ls[f] = (row[f >> 3] >> (7 - (f & 7))) & 1u;
         s.n = 1;
         s.cent.assign(row, row + t->n_bytes);
+        s.card = popcount_bytes(row, t->n_bytes);
         // Zero any padding bits beyond n_features (defensive; packbits pads 0)
         s.creation_code = 1;
         s.mols.push_back(mol_idxs[i]);
@@ -634,7 +647,7 @@ void bb_tree_insert_buffers(void* handle, const uint64_t* ls_rows,
             s.ls[f] = uint32_t(row[f]);
         s.n = ns[i];
         s.creation_code = uint8_t(dtype_code);
-        t->pack_centroid(s.ls, s.n, s.cent);
+        s.card = t->pack_centroid(s.ls, s.n, s.cent);
         s.mols.assign(mols_flat + mols_offsets[i],
                       mols_flat + mols_offsets[i + 1]);
         t->insert(sid);
@@ -758,11 +771,11 @@ int64_t bb_tree_serialized_size(void* handle) {
     total += sizeof(int64_t);  // n_nodes
     for (const Node& nd : t->nodes) {
         total += 2 * sizeof(int32_t);
-        total += vec_size(nd.subs) + vec_size(nd.cent_buf);
+        total += vec_size(nd.subs) + vec_size(nd.cent_buf) + vec_size(nd.cards);
     }
     total += sizeof(int64_t);  // n_subs
     for (const Sub& s : t->subs) {
-        total += sizeof(int64_t) + sizeof(int32_t) + 2 * sizeof(uint8_t);
+        total += 2 * sizeof(int64_t) + sizeof(int32_t) + 2 * sizeof(uint8_t);
         total += vec_size(s.ls) + vec_size(s.cent) + vec_size(s.mols);
     }
     return total;
@@ -788,10 +801,12 @@ void bb_tree_serialize(void* handle, uint8_t* out) {
         w.put(nd.next);
         w.put_vec(nd.subs);
         w.put_vec(nd.cent_buf);
+        w.put_vec(nd.cards);
     }
     w.put(int64_t(t->subs.size()));
     for (const Sub& s : t->subs) {
         w.put(s.n);
+        w.put(s.card);
         w.put(s.child);
         w.put(s.creation_code);
         w.put(uint8_t(s.mutated ? 1 : 0));
@@ -827,6 +842,7 @@ void* bb_tree_deserialize(const uint8_t* data) {
         r.get(nd.next);
         r.get_vec(nd.subs);
         r.get_vec(nd.cent_buf);
+        r.get_vec(nd.cards);
     }
     int64_t n_subs;
     r.get(n_subs);
@@ -834,6 +850,7 @@ void* bb_tree_deserialize(const uint8_t* data) {
     for (Sub& s : t->subs) {
         uint8_t mutated;
         r.get(s.n);
+        r.get(s.card);
         r.get(s.child);
         r.get(s.creation_code);
         r.get(mutated);
