@@ -268,11 +268,12 @@ def _batch_step_impl(
     guard_g = state.g_ls.shape[0] - 1
 
     def cond(carry):
-        _state, pending, _assigned, _force_lead, r = carry
+        _state, pending, _assigned, _strikes, r = carry
         return (r < max_rounds) & jnp.any(pending)
 
     def round_body(carry):
-        state, pending, assigned, force_lead, r = carry
+        state, pending, assigned, strikes, r = carry
+        force_lead = strikes >= 2
 
         # ---- 1. route rows to groups (MXU) ----
         row_group = _route_groups(
@@ -302,7 +303,11 @@ def _batch_step_impl(
             criterion, threshold, cand_ls + row_ls, cand_n + row_n, cand_ls,
             cand_n, row_n, tolerance=tolerance,
         )
-        accept = accept & pending & has_cand
+        # Rows that repeatedly pass the individual screen but lose the
+        # commit prefix (marginal fits to a hot cluster) are demoted to the
+        # rejected path: serial would have scattered them too, and without
+        # the demotion they can spin for all rounds at low thresholds
+        accept = accept & pending & has_cand & (strikes < 2)
 
         # ---- conflict resolution: serial prefix commits per candidate ----
         # Rows accepted toward the same cluster are ordered by row index and
@@ -501,18 +506,23 @@ def _batch_step_impl(
 
         assigned = jnp.where(commit, slot_of_row, assigned)
         pending = pending & ~commit
-        next_force = pending & (join | (leader & ~create_commit) | force_lead)
+        struck = pending & (
+            (accept & ~merge_commit)
+            | (join & ~join_commit)
+            | (leader & ~create_commit)
+        )
+        strikes = jnp.where(pending, strikes + struck.astype(jnp.int32), 0)
         new_state = BatchState(
             ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
             g_ls, g_n, state.g_cent, state.g_pops, g_count, g_num,
         )
-        return (new_state, pending, assigned, next_force, r + 1)
+        return (new_state, pending, assigned, strikes, r + 1)
 
     pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
-    force0 = jnp.zeros((m,), bool)
-    state, pending, assigned, _force, rounds = lax.while_loop(
-        cond, round_body, (state, pending0, assigned0, force0, jnp.int32(0))
+    strikes0 = jnp.zeros((m,), jnp.int32)
+    state, pending, assigned, _strikes, rounds = lax.while_loop(
+        cond, round_body, (state, pending0, assigned0, strikes0, jnp.int32(0))
     )
     state = _refresh_touched(state, assigned)
     return state, assigned, jnp.sum(pending.astype(jnp.int32)) * 1000 + rounds
