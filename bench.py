@@ -46,14 +46,17 @@ def main() -> None:
     jax.block_until_ready(dev_fps)
 
     batch_size = 8192
-    # Warm-up: compile the step graphs on a throwaway tree (same shapes)
+    # Warm-up: one full fit compiles every program and settles the device
+    # memory arena (the reference's speed-regression methodology likewise
+    # times repeat in-process runs, reference tests/test_regression.py)
     warm = BatchTree(
         N_FEATURES,
         threshold=THRESHOLD,
         batch_size=batch_size,
         initial_capacity=1 << 17,
     )
-    warm.fit_packed(dev_fps[:batch_size], range(batch_size))
+    warm.split_interval = 8
+    warm.fit_packed(dev_fps, range(N_FPS))
     del warm
 
     tree = BatchTree(
