@@ -115,6 +115,8 @@ def _dump_cluster_outputs(tree, out_dir: Path, save_centroids: bool) -> None:
 @click.option("--n-features", default=None, type=int, help="Fingerprint bit count (needed for packed inputs not a multiple of 8)")
 @click.option("--packed-input/--unpacked-input", "input_is_packed", default=True)
 @click.option("--engine", type=click.Choice(["exact", "batch"]), default="exact", show_default=True, help="exact: reference-identical labels on host; batch: TPU-accelerated batched engine")
+@click.option("--batch-size", "engine_batch_size", default=8192, show_default=True, help="[batch engine] rows per device step")
+@click.option("--fanout", "engine_fanout", default=192, show_default=True, help="[batch engine] clusters per group before a split")
 @click.option("--monitor-mem/--no-monitor-mem", "monitor_rss", default=True)
 @click.option("--monitor-mem-seconds", "monitor_rss_interval_s", default=1.0, hidden=True)
 @click.option("--max-fps", default=None, type=int, hidden=True)
@@ -139,6 +141,8 @@ def _run(
     n_features: int | None,
     input_is_packed: bool,
     engine: str,
+    engine_batch_size: int,
+    engine_fanout: int,
     monitor_rss: bool,
     monitor_rss_interval_s: float,
     max_fps: int | None,
@@ -192,6 +196,7 @@ def _run(
             tolerance=tolerance, n_features=n_features,
             input_is_packed=input_is_packed, max_fps=max_fps,
             save_centroids=save_centroids,
+            batch_size=engine_batch_size, fanout=engine_fanout,
         )
     else:
         from bblean_tpu.tree import BitBirch
@@ -250,7 +255,7 @@ def _run(
 def _run_batch_engine(
     input_files, out_dir, config, console, timer, *, threshold,
     merge_criterion, tolerance, n_features, input_is_packed, max_fps,
-    save_centroids,
+    save_centroids, batch_size=8192, fanout=192,
 ) -> None:
     r"""TPU path of ``bb run``: the batched engine over the accelerator."""
     from bblean_tpu.engine.batch import BatchTree
@@ -270,6 +275,8 @@ def _run_batch_engine(
                     threshold=threshold,
                     merge_criterion=merge_criterion,
                     tolerance=tolerance,
+                    batch_size=batch_size,
+                    fanout=fanout,
                 )
             tree.fit_packed(np.asarray(fps), range(offset, offset + len(fps)))
             offset += len(fps)

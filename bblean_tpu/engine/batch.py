@@ -904,7 +904,9 @@ class BatchTree:
         chunk one batch ahead so transfers overlap the insert rounds.
         """
         num = len(packed_fps)
-        mols = [[int(i)] for i in mol_indices]
+        # Singleton rows: store mol ids as one flat array per batch instead
+        # of N one-element python lists (which cost seconds at 500k+ scale)
+        mol_arr = np.fromiter(mol_indices, dtype=np.int64, count=num)
         m = self.batch_size
         on_device = isinstance(packed_fps, jax.Array)
         if on_device and num % m:
@@ -943,7 +945,7 @@ class BatchTree:
                 )
             host_valid = np.zeros(m, bool)
             host_valid[:n_valid] = True
-            self._submit_batch(rows, mols[start:stop], host_valid)
+            self._submit_batch(rows, mol_arr[start:stop], host_valid)
         self.flush()
 
     def insert_fps(
@@ -981,7 +983,7 @@ class BatchTree:
     def _submit_batch(
         self,
         rows: tuple[Array, ...],
-        mols: list[list[int]],
+        mols: "np.ndarray | list[list[int]]",
         host_valid: np.ndarray,
     ) -> None:
         r"""Dispatch one batch without any device->host sync.
@@ -1123,8 +1125,12 @@ class BatchTree:
         self._materialize_slots()
         out: list[list[int]] = [[] for _ in range(self.num_clusters)]
         for (slots, _count), mols in zip(self._row_slots, self._row_mols):
-            for slot, mol_list in zip(slots, mols):
-                out[int(slot)].extend(mol_list)
+            if isinstance(mols, np.ndarray):  # singleton rows, flat ids
+                for slot, mol in zip(slots, mols):
+                    out[int(slot)].append(int(mol))
+            else:
+                for slot, mol_list in zip(slots, mols):
+                    out[int(slot)].extend(mol_list)
         return out
 
     def packed_centroids(self) -> np.ndarray:

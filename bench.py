@@ -21,7 +21,7 @@ import numpy as np
 # Reference anchor: 10k fps / 0.9 s (C++ ext, single core) — BASELINE.md
 BASELINE_FPS_PER_S = 10_000 / 0.9
 
-N_FPS = 100_000
+N_FPS = 500_000
 N_FEATURES = 2048
 THRESHOLD = 0.65
 SEED = 12620509540149709235
@@ -53,7 +53,7 @@ def main() -> None:
         N_FEATURES,
         threshold=THRESHOLD,
         batch_size=batch_size,
-        initial_capacity=1 << 17,
+        initial_capacity=1 << 20,
     )
     warm.split_interval = 8
     warm.fit_packed(dev_fps, range(N_FPS))
@@ -63,7 +63,7 @@ def main() -> None:
         N_FEATURES,
         threshold=THRESHOLD,
         batch_size=batch_size,
-        initial_capacity=1 << 17,  # ~N singletons at threshold 0.65: no growth
+        initial_capacity=1 << 20,  # ~N singletons at threshold 0.65: no growth
     )
     tree.split_interval = 8
     t0 = time.perf_counter()

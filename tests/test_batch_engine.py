@@ -158,3 +158,33 @@ def test_packed_centroids_match_majority() -> None:
     for i, (ls, n) in enumerate(zip(tree.linear_sums(), tree.cluster_sizes())):
         expect = centroid_from_sum(ls.astype(np.uint64), int(n), pack=True)
         assert (cents[i] == expect).all()
+
+
+def test_odd_width_fps() -> None:
+    r"""Non-multiple-of-128 feature widths flow through the batch engine."""
+    fps = make_fake_fingerprints(120, n_features=264, seed=2, pack=False)
+    tree = BatchTree(
+        264, threshold=0.4, batch_size=64, initial_capacity=512,
+        route_block=64, tile=64, fanout=48,
+    )
+    tree.insert_fps(fps, range(120))
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(120))
+    for ls, members in zip(tree.linear_sums(), tree.cluster_mols()):
+        assert (ls == fps[members].sum(0)).all()
+
+
+def test_mixed_fps_then_buffers() -> None:
+    r"""Interleaving fingerprint and buffer insertion keeps bookkeeping."""
+    fps = make_fake_fingerprints(100, seed=4, pack=False)
+    tree = BatchTree(
+        2048, threshold=0.3, batch_size=64, initial_capacity=512,
+        route_block=64,
+    )
+    tree.insert_fps(fps[:50], range(50))
+    bufs = np.concatenate(
+        [fps[50:].astype(np.int64), np.ones((50, 1), np.int64)], axis=1
+    )
+    tree.insert_buffers(bufs, [[50 + i] for i in range(50)])
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(100))
