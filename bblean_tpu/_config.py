@@ -1,8 +1,8 @@
-r"""Global defaults and run-metadata collection.
+r"""CLI defaults and run-metadata (``config.json``) collection.
 
-Parity notes: mirrors the reference ``bblean/_config.py`` (CLI defaults
-``_config.py:22-34``, ``collect_system_specs_and_dump_config`` ``:39-61``),
-extended with TPU device/backend info.
+Default values are parity-pinned to the reference CLI defaults
+(``bblean/_config.py:22-36``); the spec dump is annotated with TPU
+device/backend info on top of the reference's host fields.
 """
 
 from __future__ import annotations
@@ -13,10 +13,7 @@ import multiprocessing as mp
 import os
 import sys
 import typing as tp
-from copy import deepcopy
 from pathlib import Path
-
-import numpy as np
 
 
 @dataclasses.dataclass(slots=True)
@@ -36,8 +33,10 @@ DEFAULTS = BitBirchConfig()
 TSNE_SEED = 42
 
 
-def collect_system_specs_and_dump_config(config: dict[str, tp.Any]) -> None:
-    r"""Dump ``config.json`` into the run dir, annotated with system specs."""
+def _host_specs() -> dict[str, tp.Any]:
+    r"""Hardware / software environment facts worth recording per run."""
+    import numpy as np
+
     from bblean_tpu._memory import system_mem_gib
     from bblean_tpu.utils import (
         _cpu_name,
@@ -46,20 +45,26 @@ def collect_system_specs_and_dump_config(config: dict[str, tp.Any]) -> None:
         native_extensions_are_installed,
     )
 
-    config = deepcopy(config)
-    config_path = Path(config["out_dir"]) / "config.json"
     total_mem, avail_mem = system_mem_gib()
-    config["native_extensions_enabled"] = native_extensions_are_enabled()
-    config["native_extensions_installed"] = native_extensions_are_installed()
-    config["total_memory_gib"] = total_mem
-    config["initial_available_memory_gib"] = avail_mem
-    config["platform"] = sys.platform
-    config["cpu"] = _cpu_name()
-    config["accelerators"] = _tpu_device_names()
-    config["numpy_version"] = np.__version__
-    config["python_version"] = sys.version.split()[0]
-    if config.get("num_processes", 1) > 1:
-        config["multiprocessing_start_method"] = mp.get_start_method()
-        config["visible_cpu_cores"] = os.cpu_count()
-    with open(config_path, mode="wt", encoding="utf-8") as f:
-        json.dump(config, f, indent=4)
+    return {
+        "native_extensions_enabled": native_extensions_are_enabled(),
+        "native_extensions_installed": native_extensions_are_installed(),
+        "total_memory_gib": total_mem,
+        "initial_available_memory_gib": avail_mem,
+        "platform": sys.platform,
+        "cpu": _cpu_name(),
+        "accelerators": _tpu_device_names(),
+        "numpy_version": np.__version__,
+        "python_version": sys.version.split()[0],
+    }
+
+
+def collect_system_specs_and_dump_config(config: dict[str, tp.Any]) -> None:
+    r"""Write ``<out_dir>/config.json``: run params + system specs."""
+    record = dict(config)
+    record.update(_host_specs())
+    if record.get("num_processes", 1) > 1:
+        record["multiprocessing_start_method"] = mp.get_start_method()
+        record["visible_cpu_cores"] = os.cpu_count()
+    out = Path(record["out_dir"]) / "config.json"
+    out.write_text(json.dumps(record, indent=4), encoding="utf-8")

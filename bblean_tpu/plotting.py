@@ -117,7 +117,7 @@ def pca_plot(
     fps = analysis.top_unpacked_fps.astype(np.float32)
     emb = PCA(n_components=2, random_state=TSNE_SEED).fit_transform(fps)
     return _embed_and_scatter(
-        emb, analysis._selected_cluster_sizes, "PCA of top clusters", output
+        emb, analysis.sizes, "PCA of top clusters", output
     )
 
 
@@ -154,7 +154,7 @@ def tsne_plot(
             n_components=2, perplexity=perplexity, random_state=TSNE_SEED
         ).fit_transform(fps)
     return _embed_and_scatter(
-        emb, analysis._selected_cluster_sizes, "t-SNE of top clusters", output
+        emb, analysis.sizes, "t-SNE of top clusters", output
     )
 
 
@@ -171,7 +171,7 @@ def umap_plot(
     fps = analysis.top_unpacked_fps.astype(np.float32)
     emb = umap.UMAP(n_components=2, random_state=TSNE_SEED).fit_transform(fps)
     return _embed_and_scatter(
-        emb, analysis._selected_cluster_sizes, "UMAP of top clusters", output
+        emb, analysis.sizes, "UMAP of top clusters", output
     )
 
 

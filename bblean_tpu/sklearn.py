@@ -1,10 +1,12 @@
 r"""scikit-learn estimator adapters for BitBirch.
 
-Drop-in replacements for ``sklearn.cluster.Birch`` respecting the full
-estimator contract (fit / partial_fit / fit_predict / predict / transform /
-get_params / set_params / set_output / feature names), with Jaccard
-("jaccard" metric over boolean views) distances against the subcluster
-centroids.  Parity with the reference adapter (``bblean/sklearn.py:51-203``).
+Drop-in replacements for ``sklearn.cluster.Birch`` honoring the estimator
+contract (fit / partial_fit / fit_predict / predict / transform / get_params
+/ set_params / set_output / feature names out), with Jaccard distances
+against the fitted subcluster centroids. Behavior parity with the reference
+adapter (``bblean/sklearn.py:51-203``); the packed/unpacked pair is realized
+here via a single class-level input-format default rather than per-method
+overrides.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from sklearn.utils.validation import check_is_fitted, validate_data
 
 from bblean_tpu._merges import MergeAcceptFunction
 from bblean_tpu.fingerprints import unpack_fingerprints
-from bblean_tpu.tree import BitBirch as _BitBirch
+from bblean_tpu.tree import BitBirch as _CoreTree
 
 __all__ = ["BitBirch", "UnpackedBitBirch"]
 
@@ -36,12 +38,17 @@ class BitBirch(
     ClusterMixin,
     TransformerMixin,
     BaseEstimator,
-    _BitBirch,
+    _CoreTree,
 ):
-    r"""sklearn-contract BitBIRCH estimator over *packed* fingerprints.
+    r"""sklearn-contract BitBIRCH estimator.
 
-    Use ``UnpackedBitBirch`` when inputs are unpacked 0/1 arrays.
+    Inputs are *packed* fingerprints unless ``input_is_packed`` says
+    otherwise per call; ``UnpackedBitBirch`` flips the default.
     """
+
+    # Resolves `input_is_packed=None` in every method; the unpacked
+    # subclass only overrides this attribute.
+    _packed_by_default: tp.ClassVar[bool] = True
 
     _parameter_constraints: dict[str, list[tp.Any]] = {}
 
@@ -54,7 +61,8 @@ class BitBirch(
         tolerance: float | None = None,
         compute_labels: bool = True,
     ):
-        super().__init__(
+        _CoreTree.__init__(
+            self,
             threshold=threshold,
             branching_factor=branching_factor,
             merge_criterion=merge_criterion,
@@ -62,28 +70,41 @@ class BitBirch(
         )
         self.compute_labels = compute_labels
 
-    def _refresh_fitted_state(self) -> None:
+    # -- fitting --
+
+    def _resolve_packed(self, input_is_packed: bool | None) -> bool:
+        if input_is_packed is None:
+            return self._packed_by_default
+        return input_is_packed
+
+    def _post_fit(self) -> None:
+        r"""Populate the sklearn-side fitted attributes from the tree."""
         engine = self._require_engine()
-        centroids = np.stack(
-            [
-                unpack_fingerprints(
-                    engine.sub_packed_centroid(s), engine.n_features
-                )
-                for s in engine.leaf_sub_ids(sort=True)
-            ]
-        )
-        self.subcluster_centers_ = centroids
-        self.subcluster_labels_ = np.arange(1, len(centroids) + 1)
-        self._n_features_out = centroids.shape[0]
+        rows = [
+            unpack_fingerprints(engine.sub_packed_centroid(s), engine.n_features)
+            for s in engine.leaf_sub_ids(sort=True)
+        ]
+        self.subcluster_centers_ = np.stack(rows)
+        self.subcluster_labels_ = np.arange(1, len(rows) + 1)
+        self._n_features_out = len(rows)
+        if self.compute_labels:
+            self.labels_ = self.get_assignments()
 
     @_fit_context(prefer_skip_nested_validation=True)
     def fit(  # type: ignore[override]
-        self, X, y=None, input_is_packed: bool = True, n_features: int | None = None
+        self,
+        X,
+        y=None,
+        input_is_packed: bool | None = None,
+        n_features: int | None = None,
     ) -> "BitBirch":
-        _BitBirch.fit(self, X, input_is_packed=input_is_packed, n_features=n_features)
-        self._refresh_fitted_state()
-        if self.compute_labels:
-            self.labels_ = self.get_assignments()
+        _CoreTree.fit(
+            self,
+            X,
+            input_is_packed=self._resolve_packed(input_is_packed),
+            n_features=n_features,
+        )
+        self._post_fit()
         return self
 
     @_fit_context(prefer_skip_nested_validation=True)
@@ -91,53 +112,61 @@ class BitBirch(
         self,
         X=None,
         y=None,
-        input_is_packed: bool = True,
+        input_is_packed: bool | None = None,
         n_features: int | None = None,
     ) -> "BitBirch":
         if X is None:
             raise ValueError()
-        self.fit(X, input_is_packed=input_is_packed, n_features=n_features)
-        if self.compute_labels:
-            self.labels_ = self.get_assignments()
-        return self
+        return self.fit(
+            X, input_is_packed=input_is_packed, n_features=n_features
+        )
 
     def fit_predict(  # type: ignore[override]
-        self, X, y=None, input_is_packed: bool = True, n_features: int | None = None
+        self,
+        X,
+        y=None,
+        input_is_packed: bool | None = None,
+        n_features: int | None = None,
     ) -> NDArray[np.integer]:
         self.fit(X, input_is_packed=input_is_packed, n_features=n_features)
         if not self.compute_labels:
             self.labels_ = self.get_assignments()
         return self.labels_
 
-    def _as_bool_bits(
-        self, X, input_is_packed: bool, n_features: int | None
-    ) -> NDArray[np.bool_]:
+    # -- inference --
+
+    def _query_matrix(
+        self, X, input_is_packed: bool | None, n_features: int | None
+    ) -> tuple[NDArray[np.bool_], NDArray[np.bool_]]:
+        r"""(validated query rows, fitted centroids) as boolean bit views."""
+        check_is_fitted(self)
         X = validate_data(self, X, accept_sparse="csr", reset=False)
-        bits = unpack_fingerprints(X, n_features=n_features) if input_is_packed else X
-        return bits.astype(np.uint8, copy=False).view(np.bool_)
+        if self._resolve_packed(input_is_packed):
+            X = unpack_fingerprints(X, n_features=n_features)
+        query = X.astype(np.uint8, copy=False).view(np.bool_)
+        centers = self.subcluster_centers_.astype(np.uint8, copy=False)
+        return query, centers.view(np.bool_)
 
     def predict(  # type: ignore[override]
-        self, X, input_is_packed: bool = True, n_features: int | None = None
+        self,
+        X,
+        input_is_packed: bool | None = None,
+        n_features: int | None = None,
     ) -> NDArray[np.integer]:
-        r"""Assign rows to the nearest (Jaccard) subcluster centroid."""
-        check_is_fitted(self)
-        bits = self._as_bool_bits(X, input_is_packed, n_features)
-        centers = self.subcluster_centers_.astype(np.uint8, copy=False).view(
-            np.bool_
-        )
-        nearest = pairwise_distances_argmin(bits, centers, metric="jaccard")
+        r"""Label of the nearest (Jaccard) subcluster centroid per row."""
+        query, centers = self._query_matrix(X, input_is_packed, n_features)
+        nearest = pairwise_distances_argmin(query, centers, metric="jaccard")
         return self.subcluster_labels_[nearest]
 
     def transform(  # type: ignore[override]
-        self, X, input_is_packed: bool = True, n_features: int | None = None
+        self,
+        X,
+        input_is_packed: bool | None = None,
+        n_features: int | None = None,
     ):
         r"""Jaccard distance of every row to every subcluster centroid."""
-        check_is_fitted(self)
-        bits = self._as_bool_bits(X, input_is_packed, n_features)
-        centers = self.subcluster_centers_.astype(np.uint8, copy=False).view(
-            np.bool_
-        )
-        return pairwise_distances(bits, centers, metric="jaccard")
+        query, centers = self._query_matrix(X, input_is_packed, n_features)
+        return pairwise_distances(query, centers, metric="jaccard")
 
     def __sklearn_tags__(self):  # type: ignore[override]
         tags = super().__sklearn_tags__()
@@ -146,35 +175,6 @@ class BitBirch(
 
 
 class UnpackedBitBirch(BitBirch):
-    r"""sklearn-contract BitBIRCH estimator over *unpacked* fingerprints."""
+    r"""``BitBirch`` whose inputs default to *unpacked* 0/1 fingerprints."""
 
-    def fit(  # type: ignore[override]
-        self, X, y=None, input_is_packed: bool = False, n_features: int | None = None
-    ) -> "UnpackedBitBirch":
-        return super().fit(X, y, input_is_packed=input_is_packed, n_features=n_features)
-
-    def partial_fit(  # type: ignore[override]
-        self, X, y=None, input_is_packed: bool = False, n_features: int | None = None
-    ):
-        return super().partial_fit(
-            X, y, input_is_packed=input_is_packed, n_features=n_features
-        )
-
-    def fit_predict(  # type: ignore[override]
-        self, X, y=None, input_is_packed: bool = False, n_features: int | None = None
-    ):
-        return super().fit_predict(
-            X, y, input_is_packed=input_is_packed, n_features=n_features
-        )
-
-    def predict(  # type: ignore[override]
-        self, X, input_is_packed: bool = False, n_features: int | None = None
-    ):
-        return super().predict(X, input_is_packed=input_is_packed, n_features=n_features)
-
-    def transform(  # type: ignore[override]
-        self, X, input_is_packed: bool = False, n_features: int | None = None
-    ):
-        return super().transform(
-            X, input_is_packed=input_is_packed, n_features=n_features
-        )
+    _packed_by_default = False
