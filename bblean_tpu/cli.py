@@ -420,6 +420,14 @@ def _multiround(
 @click.option("--pack/--no-pack", default=True)
 @click.option("-p", "--num-processes", default=1, show_default=True)
 @click.option("--batch-size", default=50_000, show_default=True, help="SMILES per output file in parallel mode")
+@click.option(
+    "--single-file/--multi-file",
+    "single_file",
+    default=False,
+    show_default=True,
+    help="In parallel mode, featurize into ONE output array via shared"
+    " memory instead of one .npy per batch",
+)
 @click.option("-v/-V", "--verbose/--no-verbose", default=True)
 def _fps_from_smiles(
     smiles_files: tuple[Path, ...],
@@ -432,6 +440,7 @@ def _fps_from_smiles(
     pack: bool,
     num_processes: int,
     batch_size: int,
+    single_file: bool,
     verbose: bool,
 ) -> None:
     import multiprocessing as mp
@@ -445,6 +454,12 @@ def _fps_from_smiles(
     console = get_console(verbose)
     out_dir.mkdir(exist_ok=True, parents=True)
     files = [Path(f) for f in smiles_files]
+    if num_processes > 1 and single_file:
+        _fps_from_smiles_shared_memory(
+            files, out_dir, out_name, kind, n_features, sanitize,
+            skip_invalid, pack, num_processes, batch_size, console,
+        )
+        return
     if num_processes <= 1:
         smiles = list(iter_smiles_from_paths(files))
         result = fps_from_smiles(
@@ -473,6 +488,74 @@ def _fps_from_smiles(
     with ctx.Pool(processes=min(num_processes, len(batches))) as pool:
         pool.map(worker, batches)
     console.print(f"Wrote {len(batches)} fingerprint files to {out_dir}")
+
+
+def _fps_from_smiles_shared_memory(
+    files: list[Path],
+    out_dir: Path,
+    out_name: str,
+    kind: str,
+    n_features: int,
+    sanitize: str,
+    skip_invalid: bool,
+    pack: bool,
+    num_processes: int,
+    batch_size: int,
+    console,
+) -> None:
+    r"""Parallel featurization into ONE output ``.npy``.
+
+    Workers write disjoint row ranges of a ``multiprocessing.shared_memory``
+    array plus an invalid-row bitmask; invalid rows are dropped at the end.
+    Parity: reference ``bblean/cli.py:1652-1701``.
+    """
+    import multiprocessing as mp
+    import multiprocessing.shared_memory as shmem
+
+    from bblean_tpu.fingerprints import _FingerprintArrayFiller
+    from bblean_tpu.smiles import _iter_ranges_and_smiles_batches, calc_num_smiles
+
+    num_smiles = calc_num_smiles(files)
+    out_dim = (n_features + 7) // 8 if pack else n_features
+    fps_shm = shmem.SharedMemory(create=True, size=max(num_smiles * out_dim, 1))
+    mask_shm = shmem.SharedMemory(create=True, size=max(num_smiles, 1))
+    try:
+        # Zero the invalid mask: SharedMemory contents are not guaranteed
+        np.ndarray((num_smiles,), dtype=np.bool_, buffer=mask_shm.buf)[:] = False
+        filler = _FingerprintArrayFiller(
+            invalid_mask_shmem_name=mask_shm.name,
+            shmem_name=fps_shm.name,
+            kind=kind,
+            fp_size=n_features,
+            pack=pack,
+            dtype="uint8",
+            num_smiles=num_smiles,
+            sanitize=sanitize,
+            skip_invalid=skip_invalid,
+        )
+        ctx = mp.get_context("forkserver" if sys.platform == "linux" else None)
+        with ctx.Pool(processes=num_processes) as pool:
+            pool.starmap(
+                filler, _iter_ranges_and_smiles_batches(files, batch_size)
+            )
+        fps = np.ndarray((num_smiles, out_dim), dtype=np.uint8, buffer=fps_shm.buf)
+        mask = np.ndarray((num_smiles,), dtype=np.bool_, buffer=mask_shm.buf)
+        if skip_invalid and mask.any():
+            invalid = mask.nonzero()[0]
+            fps = np.delete(fps, invalid, axis=0)
+            np.save(out_dir / f"invalid-{out_name}.npy", invalid)
+            console.print(f"Skipped {invalid.size} invalid smiles")
+        else:
+            fps = fps.copy()  # detach from shared memory before unlink
+        np.save(out_dir / out_name, fps)
+        console.print(
+            f"Wrote {len(fps)} fingerprints to {out_dir / out_name}.npy"
+        )
+    finally:
+        fps_shm.close()
+        fps_shm.unlink()
+        mask_shm.close()
+        mask_shm.unlink()
 
 
 @main.command("fps-info", help="Inspect fingerprint `*.npy` files")
