@@ -8,7 +8,7 @@ CXXFLAGS ?= -O3 -std=c++17 -fPIC -shared -march=native -funroll-loops
 SRC := bblean_tpu/csrc/bblean_native.cpp
 OUT := bblean_tpu/csrc/build/libbblean_native.so
 
-.PHONY: native test clean
+.PHONY: native test test-tpu clean
 
 native: $(OUT)
 
@@ -18,6 +18,13 @@ $(OUT): $(SRC)
 
 test:
 	python -m pytest tests/ -x -q
+
+# Run the device-kernel + batch-engine tests on the real TPU chip.
+# Must run from the repo root (the axon PJRT plugin requires it); the
+# sharded multi-device tests skip themselves on a single chip.
+test-tpu:
+	BBLEAN_TPU_TEST_PLATFORM=axon python -m pytest \
+		tests/test_ops.py tests/test_batch_engine.py -x -q
 
 clean:
 	rm -rf bblean_tpu/csrc/build

@@ -9,23 +9,31 @@ Note: this environment force-registers a TPU PJRT plugin and pins
 enough — ``jax.config.update("jax_platforms", "cpu")`` after import is what
 actually re-pins tests to CPU.  XLA_FLAGS must still be set before the CPU
 client is first created.
+
+Set ``BBLEAN_TPU_TEST_PLATFORM=axon`` (or any platform name) to run the
+suite on real hardware instead — ``make test-tpu`` runs the device-kernel
+and batch-engine tests on the real chip this way.  Multi-device tests
+detect the single-chip case and skip themselves.
 """
 
 import os
 import sys
 from pathlib import Path
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_platform = os.environ.get("BBLEAN_TPU_TEST_PLATFORM", "cpu")
+
+if _platform == "cpu":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: the sharded SPMD programs take minutes to
 # compile on the 1-core CPU host; cache them across test runs
