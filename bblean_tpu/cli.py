@@ -197,6 +197,11 @@ def _run(
             input_is_packed=input_is_packed, max_fps=max_fps,
             save_centroids=save_centroids,
             batch_size=engine_batch_size, fanout=engine_fanout,
+            refine_num=refine_num, refine_rounds=refine_rounds,
+            refine_merge_criterion=refine_merge_criterion,
+            refine_threshold_change=refine_threshold_change,
+            recluster_rounds=recluster_rounds,
+            recluster_shuffle=recluster_shuffle,
         )
     else:
         from bblean_tpu.tree import BitBirch
@@ -255,7 +260,10 @@ def _run(
 def _run_batch_engine(
     input_files, out_dir, config, console, timer, *, threshold,
     merge_criterion, tolerance, n_features, input_is_packed, max_fps,
-    save_centroids, batch_size=8192, fanout=192,
+    save_centroids, batch_size=8192, fanout=192, refine_num=0,
+    refine_rounds=0, refine_merge_criterion=None,
+    refine_threshold_change=0.0, recluster_rounds=0,
+    recluster_shuffle=False,
 ) -> None:
     r"""TPU path of ``bb run``: the batched engine over the accelerator."""
     from bblean_tpu.engine.batch import BatchTree
@@ -281,6 +289,25 @@ def _run_batch_engine(
             tree.fit_packed(np.asarray(fps), range(offset, offset + len(fps)))
             offset += len(fps)
     assert tree is not None
+    for r in range(refine_rounds):
+        with console.status(
+            f"[italic]Refinement, round {r + 1} (TPU)...[/italic]",
+            spinner="dots",
+        ):
+            tree.refine_inplace(
+                input_files if len(input_files) > 1 else input_files[0],
+                input_is_packed=input_is_packed,
+                n_largest=refine_num,
+                threshold=threshold + refine_threshold_change,
+                merge_criterion=refine_merge_criterion,
+                tolerance=tolerance,
+            )
+    for r in range(recluster_rounds):
+        with console.status(
+            f"[italic]Reclustering, round {r + 1} (TPU)...[/italic]",
+            spinner="dots",
+        ):
+            tree.recluster_inplace(shuffle=recluster_shuffle)
     # Sort clusters by size desc (stable), as the exact engine does
     sizes = tree.cluster_sizes()
     mols = tree.cluster_mols()

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import functools
 import typing as tp
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -1090,6 +1091,138 @@ class BatchTree:
                     self.state, jnp.asarray(gs), jnp.asarray(active)
                 )
                 self._g_upper += len(chunk)
+
+    # -- refinement ----------------------------------------------------------
+
+    def reset(
+        self,
+        *,
+        threshold: float | None = None,
+        merge_criterion: str | None = None,
+        tolerance: float | None = None,
+    ) -> None:
+        r"""Drop all clusters (device state + host bookkeeping), optionally
+        switching the merge criterion/threshold for the next fit."""
+        if threshold is not None:
+            self.threshold = threshold
+        if merge_criterion is not None:
+            self.merge_criterion = merge_criterion
+        if tolerance is not None:
+            self.tolerance = tolerance
+        self.state = _init_state(
+            self.capacity, self.g_capacity, self.tile, self.n_features
+        )
+        self._num_upper = 0
+        self._g_upper = 1
+        self._boundary_queue = []
+        self._row_slots = []
+        self._row_mols = []
+
+    def _load_rows_by_mol(
+        self,
+        X: "np.ndarray | Path | str | tp.Sequence[Path]",
+        mol_ids: list[int],
+        initial_mol: int,
+        input_is_packed: bool,
+    ) -> tuple[np.ndarray, list[int]]:
+        r"""(packed fingerprint rows, matching mol ids) for ``mol_ids``.
+
+        File sequences require globally sorted indices, so the returned mol
+        ids may be a permutation of the input.
+        """
+        arr_idxs = [m - initial_mol for m in mol_ids]
+        if isinstance(X, (Path, str)):
+            rows = np.asarray(np.load(X, mmap_mode="r")[arr_idxs])
+        elif isinstance(X, np.ndarray):
+            rows = X[arr_idxs]
+        else:  # sequence of .npy paths
+            from bblean_tpu.fingerprints import _get_fingerprints_from_file_seq
+
+            order = np.argsort(arr_idxs)
+            rows = _get_fingerprints_from_file_seq(
+                tp.cast(tp.Sequence[Path], X),
+                [arr_idxs[i] for i in order],
+            )
+            mol_ids = [mol_ids[i] for i in order]
+        rows = np.asarray(rows, dtype=np.uint8)
+        if not input_is_packed:
+            rows = np.packbits(rows, axis=-1)
+        return rows, mol_ids
+
+    def refine_inplace(
+        self,
+        X: "np.ndarray | Path | str | tp.Sequence[Path]",
+        initial_mol: int = 0,
+        input_is_packed: bool = True,
+        n_largest: int = 1,
+        *,
+        threshold: float | None = None,
+        merge_criterion: str | None = None,
+        tolerance: float | None = None,
+    ) -> "BatchTree":
+        r"""Explode the ``n_largest`` clusters into singletons and re-fit.
+
+        Mirrors the exact engine's refinement (reference flow
+        ``bblean/bitbirch.py:1187-1214``): surviving clusters re-insert as
+        pre-aggregated CF buffers largest-first, then the exploded rows
+        re-insert as singletons (their original fingerprints are reloaded
+        from ``X`` by molecule id).
+        """
+        if n_largest < 0:
+            raise ValueError("n_largest must be >= 0")
+        sizes = self.cluster_sizes()
+        ls = self.linear_sums()
+        mols = self.cluster_mols()
+        order = np.argsort(-sizes, kind="stable")
+        big, rest = order[:n_largest], order[n_largest:]
+
+        exploded_mols = [m for i in big for m in mols[i]]
+        rows, row_mols = self._load_rows_by_mol(
+            X, exploded_mols, initial_mol, input_is_packed
+        )
+
+        buffers = np.concatenate(
+            [ls[rest], sizes[rest, None]], axis=1, dtype=np.int64
+        )
+        buffer_mols = [mols[i] for i in rest]
+
+        self.reset(
+            threshold=threshold,
+            merge_criterion=merge_criterion,
+            tolerance=tolerance,
+        )
+        if len(buffers):
+            self.insert_buffers(buffers, buffer_mols)
+        if len(rows):
+            self.fit_packed(rows, row_mols)
+        return self
+
+    def recluster_inplace(
+        self,
+        iterations: int = 1,
+        extra_threshold: float = 0.0,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> "BatchTree":
+        r"""Re-insert every cluster as a CF buffer, optionally shuffled,
+        bumping the threshold by ``extra_threshold`` per iteration."""
+        rng = np.random.default_rng(seed)
+        for _ in range(iterations):
+            sizes = self.cluster_sizes()
+            ls = self.linear_sums()
+            mols = self.cluster_mols()
+            order = (
+                rng.permutation(len(sizes))
+                if shuffle
+                else np.argsort(-sizes, kind="stable")
+            )
+            buffers = np.concatenate(
+                [ls[order], sizes[order, None]], axis=1, dtype=np.int64
+            )
+            buffer_mols = [mols[i] for i in order]
+            self.reset(threshold=self.threshold + extra_threshold)
+            self.insert_buffers(buffers, buffer_mols)
+        return self
 
     # -- extraction ----------------------------------------------------------
 

@@ -188,3 +188,49 @@ def test_mixed_fps_then_buffers() -> None:
     tree.insert_buffers(bufs, [[50 + i] for i in range(50)])
     flat = sorted(i for c in tree.cluster_mols() for i in c)
     assert flat == list(range(100))
+
+
+def test_refine_inplace_explodes_largest() -> None:
+    r"""Refining with never-merge leaves the exploded cluster's members as
+    singletons while other clusters survive as intact CF buffers."""
+    fps = make_fake_fingerprints(400, seed=SEED, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    sizes_before = np.sort(tree.cluster_sizes())[::-1]
+    n_before = tree.num_clusters
+    packed = np.packbits(fps, axis=-1)
+    tree.refine_inplace(
+        packed, n_largest=1, merge_criterion="never-merge",
+    )
+    # never-merge: nothing re-merges, so the largest cluster's members all
+    # become singletons and every other cluster survives unchanged
+    assert tree.num_clusters == n_before - 1 + sizes_before[0]
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(400))
+    for ls, members in zip(tree.linear_sums(), tree.cluster_mols()):
+        assert (ls == fps[members].sum(0)).all()
+
+
+def test_refine_inplace_from_file(tmp_path) -> None:
+    fps = make_fake_fingerprints(300, seed=SEED, pack=False)
+    packed = np.packbits(fps, axis=-1)
+    p = tmp_path / "fps.npy"
+    np.save(p, packed)
+    tree = _fit_batch(fps, 0.3)
+    tree.refine_inplace(p, n_largest=2, merge_criterion="tolerance-diameter")
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(300))
+    for ls, members in zip(tree.linear_sums(), tree.cluster_mols()):
+        assert (ls == fps[members].sum(0)).all()
+
+
+def test_recluster_inplace_consistency() -> None:
+    fps = make_fake_fingerprints(300, seed=SEED, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    n_before = tree.num_clusters
+    tree.recluster_inplace(shuffle=True, seed=7)
+    # Re-inserting whole clusters can only merge, never split
+    assert tree.num_clusters <= n_before
+    flat = sorted(i for c in tree.cluster_mols() for i in c)
+    assert flat == list(range(300))
+    for ls, members in zip(tree.linear_sums(), tree.cluster_mols()):
+        assert (ls == fps[members].sum(0)).all()

@@ -214,3 +214,23 @@ def test_fps_from_smiles_requires_rdkit(runner, tmp_path) -> None:
     except ImportError:
         assert result.exit_code != 0
         assert isinstance(result.exception, ImportError)
+
+
+def test_run_batch_engine_refine(runner, fps_file, tmp_path) -> None:
+    out = tmp_path / "out-batch-refine"
+    result = runner.invoke(
+        main,
+        ["run", str(fps_file), "-o", str(out), "-t", "0.3",
+         "--engine", "batch", "--refine-num", "2", "--no-monitor-mem", "-V"],
+    )
+    assert result.exit_code == 0, result.output
+    import pickle
+
+    with open(out / "clusters.pkl", "rb") as f:
+        clusters = pickle.load(f)
+    flat = sorted(i for c in clusters for i in c)
+    n_total = len(flat)
+    assert flat == list(range(n_total))
+    # size-descending order preserved through refinement
+    sizes = [len(c) for c in clusters]
+    assert sizes == sorted(sizes, reverse=True)
