@@ -1252,18 +1252,64 @@ class BatchTree:
             for s in self._row_slots
         ]
 
-    def cluster_mols(self) -> list[list[int]]:
-        r"""Molecule ids per cluster slot (slot order, not size order)."""
+    def _flat_assignments(self) -> tuple[np.ndarray, np.ndarray]:
+        r"""(mol ids, cluster slot per mol) over every inserted row, in
+        insertion order — the vectorized form of the mol bookkeeping."""
         self.flush()
         self._materialize_slots()
-        out: list[list[int]] = [[] for _ in range(self.num_clusters)]
+        mol_parts: list[np.ndarray] = []
+        slot_parts: list[np.ndarray] = []
         for (slots, _count), mols in zip(self._row_slots, self._row_mols):
             if isinstance(mols, np.ndarray):  # singleton rows, flat ids
-                for slot, mol in zip(slots, mols):
-                    out[int(slot)].append(int(mol))
-            else:
-                for slot, mol_list in zip(slots, mols):
-                    out[int(slot)].extend(mol_list)
+                mol_parts.append(mols)
+                slot_parts.append(slots)
+            else:  # buffer rows: one list of mol ids per row
+                lens = np.fromiter(
+                    (len(ml) for ml in mols), dtype=np.int64, count=len(mols)
+                )
+                if lens.sum() == 0:
+                    continue
+                mol_parts.append(
+                    np.concatenate([np.asarray(ml, np.int64) for ml in mols if ml])
+                )
+                slot_parts.append(np.repeat(slots[: len(mols)], lens))
+        if not mol_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (
+            np.concatenate(mol_parts),
+            np.concatenate(slot_parts).astype(np.int64, copy=False),
+        )
+
+    def assignments(self) -> np.ndarray:
+        r"""Cluster slot per molecule id, as one int array (0-based slots;
+        the cheap extraction path at 10M+ scale)."""
+        mols, slots = self._flat_assignments()
+        out = np.full(int(mols.max()) + 1 if len(mols) else 0, -1, np.int64)
+        out[mols] = slots
+        return out
+
+    def cluster_mols(self) -> list[list[int]]:
+        r"""Molecule ids per cluster slot (slot order, not size order).
+
+        Vectorized: one stable argsort over all (slot, mol) pairs plus a
+        per-cluster slice, instead of a Python append per row (which costs
+        minutes at 10M rows).
+        """
+        ncl = self.num_clusters
+        mols, slots = self._flat_assignments()
+        out: list[list[int]] = [[] for _ in range(ncl)]
+        if not len(mols):
+            return out
+        order = np.argsort(slots, kind="stable")  # keeps insertion order
+        mols_sorted = mols[order]
+        slots_sorted = slots[order]
+        bounds = np.searchsorted(
+            slots_sorted, np.arange(ncl + 1), side="left"
+        )
+        for i in range(ncl):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[i] = mols_sorted[lo:hi].tolist()
         return out
 
     def packed_centroids(self) -> np.ndarray:
