@@ -114,7 +114,7 @@ def _dump_cluster_outputs(tree, out_dir: Path, save_centroids: bool) -> None:
 @click.option("--recluster-shuffle/--no-recluster-shuffle", default=True, hidden=True)
 @click.option("--n-features", default=None, type=int, help="Fingerprint bit count (needed for packed inputs not a multiple of 8)")
 @click.option("--packed-input/--unpacked-input", "input_is_packed", default=True)
-@click.option("--engine", type=click.Choice(["exact", "batch"]), default="exact", show_default=True, help="exact: reference-identical labels on host; batch: TPU-accelerated batched engine")
+@click.option("--engine", type=click.Choice(["exact", "batch", "sharded"]), default="exact", show_default=True, help="exact: reference-identical labels on host; batch: TPU-accelerated batched engine; sharded: SPMD over every visible device")
 @click.option("--batch-size", "engine_batch_size", default=8192, show_default=True, help="[batch engine] rows per device step")
 @click.option("--fanout", "engine_fanout", default=192, show_default=True, help="[batch engine] clusters per group before a split")
 @click.option("--monitor-mem/--no-monitor-mem", "monitor_rss", default=True)
@@ -189,7 +189,18 @@ def _run(
 
     timer = Timer()
     timer.init_timing("total")
-    if engine == "batch":
+    if engine == "sharded":
+        _run_sharded_engine(
+            input_files, out_dir, config, console, timer,
+            threshold=threshold, merge_criterion=merge_criterion,
+            tolerance=tolerance, n_features=n_features,
+            input_is_packed=input_is_packed, max_fps=max_fps,
+            save_centroids=save_centroids,
+            batch_size=engine_batch_size,
+            refine_merge_criterion=refine_merge_criterion,
+            refine_threshold_change=refine_threshold_change,
+        )
+    elif engine == "batch":
         _run_batch_engine(
             input_files, out_dir, config, console, timer,
             threshold=threshold, merge_criterion=merge_criterion,
@@ -255,6 +266,73 @@ def _run(
     timer.dump(out_dir / "timings.json")
     _link_input_fps(out_dir, input_files, copy_inputs)
     console.print(f"Outputs in: {out_dir}")
+
+
+def _run_sharded_engine(
+    input_files, out_dir, config, console, timer, *, threshold,
+    merge_criterion, tolerance, n_features, input_is_packed, max_fps,
+    save_centroids, batch_size=8192, refine_merge_criterion=None,
+    refine_threshold_change=0.0,
+) -> None:
+    r"""SPMD path of ``bb run``: data-parallel over every visible device.
+
+    The merge-reduction rounds use the refine criterion/threshold-change
+    options, mirroring multiround's midsection parameters.
+    """
+    import jax
+
+    from bblean_tpu.parallel import get_mesh, sharded_fit
+
+    parts = []
+    for file in input_files:
+        fps = np.load(file, mmap_mode="r")[:max_fps]
+        parts.append(np.asarray(fps, dtype=np.uint8))
+    all_fps = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+    mesh = get_mesh()
+    console.print(f"Sharding over {mesh.devices.size} device(s)")
+    feats = n_features if n_features is not None else (
+        all_fps.shape[1] * 8 if input_is_packed else all_fps.shape[1]
+    )
+    with console.status("[italic]BitBirching (SPMD)...[/italic]", spinner="dots"):
+        result = sharded_fit(
+            all_fps,
+            mesh,
+            input_is_packed=input_is_packed,
+            n_features=feats,
+            threshold=threshold,
+            merge_criterion=merge_criterion,
+            tolerance=tolerance,
+            merge_criterion_merge=refine_merge_criterion,
+            merge_threshold_change=refine_threshold_change,
+            batch_size=batch_size,
+        )
+    # Clusters sorted by size desc (stable), like the other engines
+    order = np.argsort(-result.sizes, kind="stable")
+    mols_by_cluster: list[list[int]] = [[] for _ in range(result.num_clusters)]
+    sort_idx = np.argsort(result.labels, kind="stable")
+    bounds = np.searchsorted(
+        result.labels[sort_idx], np.arange(result.num_clusters + 1)
+    )
+    for i in range(result.num_clusters):
+        mols_by_cluster[i] = sort_idx[bounds[i] : bounds[i + 1]].tolist()
+    with open(out_dir / "clusters.pkl", "wb") as f:
+        pickle.dump([mols_by_cluster[i] for i in order], f)
+    if save_centroids:
+        from bblean_tpu._np_similarity import centroid_from_sum
+
+        cents = [
+            centroid_from_sum(
+                result.linear_sums[i].astype(np.uint64),
+                int(result.sizes[i]),
+                pack=True,
+            )
+            for i in order
+        ]
+        with open(out_dir / "cluster-centroids-packed.pkl", "wb") as f:
+            pickle.dump(cents, f)
+    config["n_clusters"] = int(result.num_clusters)
+    config["n_devices"] = int(mesh.devices.size)
 
 
 def _run_batch_engine(

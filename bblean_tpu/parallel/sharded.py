@@ -1,30 +1,33 @@
-r"""SPMD sharded clustering: per-device tree builds + ICI all-gather merge.
+r"""SPMD sharded clustering: per-device tree builds + ICI tree-reduction merge.
 
-Re-design of the reference's multiround pipeline (``bblean/multiround.py``):
-the reference fans out one process per ``.npy`` shard, dumps CF buffers to
-disk, and re-clusters file batches over several rounds; here the entire
-pipeline is ONE compiled SPMD program over a ``Mesh``:
+Re-design of the reference's multiround pipeline (``bblean/multiround.py``)
+for a TPU mesh:
 
-- **Initial round** == each device scans its local fingerprint shard through
-  the batched engine rounds (``engine/batch.py``), producing a per-device CF
-  table (this is the reference's ``_InitialRound``, ``multiround.py:146-216``,
-  without processes).
-- **Exchange** == ``lax.all_gather`` of the CF tables over the mesh axis —
-  the ICI replacement for ``round-*-bufs*.npy`` files on disk
-  (``multiround.py:132-143``).
-- **Merge round** == every device re-inserts the gathered CF rows (ordered
-  largest-first, mirroring the uint16-before-uint8 heuristic of
-  ``multiround.py:104-111``) into a fresh table; the result is replicated, so
-  no broadcast is needed (this is ``_FinalTreeMergingRound``).
+- **Initial round** — each device scans its local *packed* fingerprint shard
+  through the batched engine rounds (``engine/batch.py``), unpacking on
+  device, producing a per-device CF table (the reference's ``_InitialRound``,
+  ``multiround.py:146-216``, without processes; packed transfer keeps
+  host->HBM traffic at F/8 bytes per row).
+- **Merge reduction** — ``ceil(log2(D))`` binned rounds (the reference's
+  midsection rounds over file pairs, ``multiround.py:427-456``): at round
+  ``r`` device ``d + 2^r`` ships its CF table to device ``d`` over ICI
+  (``lax.ppermute``) and the receiver re-clusters own + received rows,
+  largest-first (the uint16-before-uint8 heuristic of
+  ``multiround.py:104-111``).  Each round is its own compiled program with
+  its own capacity, so per-device HBM grows with the subtree actually
+  merged — never O(D * cap) on every device the way a replicated
+  all_gather merge would.
+- **Final table** lives on device 0 (the reference's
+  ``_FinalTreeMergingRound``); labels are composed on host from the
+  per-round assignment maps.
 
-Capacities are static per compilation: ``capacity`` bounds clusters per
-device (safe upper bound: the local row count), ``merge_capacity`` bounds the
-final cluster count.  The host wrapper composes global labels from the two
-assignment levels.
+Merge rounds may switch criterion/threshold (``merge_criterion_merge``,
+``merge_threshold_change``), mirroring multiround's midsection parameters.
 """
 
 from __future__ import annotations
 
+import math
 import typing as tp
 from functools import partial
 
@@ -36,7 +39,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bblean_tpu.engine.batch import BatchState, _batch_step_impl, _init_state
 from bblean_tpu.ops.isim import majority_centroid_from_sums
-from bblean_tpu.ops.packing import pack_fingerprints_device
+from bblean_tpu.ops.packing import (
+    pack_fingerprints_device,
+    unpack_fingerprints_device,
+)
 
 __all__ = ["sharded_fit", "ShardedClusters"]
 
@@ -50,22 +56,23 @@ class ShardedClusters(tp.NamedTuple):
     num_clusters: int
 
 
-def _scan_insert(
+def _scan_insert_packed(
     state: BatchState,
-    fps_batches: Array,  # (B, M, F)
+    pk_batches: Array,  # (B, M, F8) uint8
     valid_batches: Array,  # (B, M) bool (False = shard padding)
     threshold: Array,
     tolerance: Array,
     criterion: str,
     block: int,
     max_rounds: int,
+    n_features: int,
 ) -> tuple[BatchState, Array]:
     def body(state, batch):
-        batch_fps, valid = batch
-        row_ls = batch_fps.astype(jnp.int32)
+        row_pk, valid = batch
+        bits = unpack_fingerprints_device(row_pk, n_features)
+        row_ls = bits.astype(jnp.int32)
         row_n = valid.astype(jnp.int32)
-        row_cent = batch_fps.astype(jnp.bfloat16)
-        row_pk = pack_fingerprints_device(batch_fps)
+        row_cent = bits.astype(jnp.bfloat16)
         row_pop = jnp.sum(row_ls, axis=-1)
         state, assigned, _pending = _batch_step_impl(
             state, row_ls, row_n, row_cent, row_pk, row_pop, threshold,
@@ -74,7 +81,7 @@ def _scan_insert(
         )
         return state, assigned
 
-    state, assigned = lax.scan(body, state, (fps_batches, valid_batches))
+    state, assigned = lax.scan(body, state, (pk_batches, valid_batches))
     return state, assigned.reshape(-1)
 
 
@@ -104,13 +111,55 @@ def _scan_insert_buffers(
     return state, assigned.reshape(-1)
 
 
+def _rebuild_tables(
+    rows_ls: Array,  # (R, F) int32 candidate CF rows (own + received)
+    rows_n: Array,  # (R,) int32 (0 = empty / masked)
+    out_cap: int,
+    tile: int,
+    batch: int,
+    threshold: Array,
+    tolerance: Array,
+    criterion: str,
+    block: int,
+    max_rounds: int,
+) -> tuple[Array, Array, Array]:
+    r"""Re-cluster CF rows largest-first into a fresh table.
+
+    Returns (new ls table, new n table, assignment per input row).
+    """
+    n_rows, f = rows_ls.shape
+    order = jnp.argsort(-rows_n, stable=True)
+    sorted_ls = rows_ls[order]
+    sorted_n = rows_n[order]
+    n_batches = -(-n_rows // batch)
+    pad = n_batches * batch - n_rows
+    sorted_ls = jnp.pad(sorted_ls, ((0, pad), (0, 0)))
+    sorted_n = jnp.pad(sorted_n, (0, pad))
+    g_cap = _next_pow2(out_cap + 2)
+    state = _init_state(out_cap, g_cap, tile, f)
+    state, assigned_sorted = _scan_insert_buffers(
+        state,
+        sorted_ls.reshape(n_batches, batch, f),
+        sorted_n.reshape(n_batches, batch),
+        threshold, tolerance, criterion, min(block, out_cap), max_rounds,
+    )
+    assigned = (
+        jnp.zeros((n_rows,), jnp.int32).at[order].set(assigned_sorted[:n_rows])
+    )
+    return state.ls, state.n, assigned
+
+
 def sharded_fit(
-    fps_unpacked: np.ndarray,
+    fps: np.ndarray,
     mesh: Mesh,
     *,
+    input_is_packed: bool = False,
+    n_features: int | None = None,
     threshold: float = 0.65,
     merge_criterion: str = "diameter",
     tolerance: float = 0.05,
+    merge_criterion_merge: str | None = None,
+    merge_threshold_change: float = 0.0,
     batch_size: int = 256,
     capacity: int | None = None,
     g_capacity: int | None = None,
@@ -122,111 +171,154 @@ def sharded_fit(
 ) -> ShardedClusters:
     r"""Cluster fingerprints data-parallel over a device mesh.
 
-    ``fps_unpacked`` is padded to a multiple of ``n_devices * batch_size``
-    with zero rows (ignored).  Returns merged (replicated) clusters plus a
-    per-input-row label composed from the local and merge assignments.
+    ``fps`` may be unpacked 0/1 rows or packed bytes (``input_is_packed``).
+    Rows are padded to a multiple of ``n_devices * batch_size`` with empty
+    rows (ignored).  ``capacity`` bounds per-device clusters in the initial
+    round (default: the per-device row count); ``merge_capacity`` bounds the
+    table size of merge round ``r``, which otherwise doubles per round from
+    ``capacity`` — set it when clusters are known to merge heavily.
     """
     n_dev = mesh.devices.size
-    n, f = fps_unpacked.shape
+    if input_is_packed:
+        if n_features is None:
+            n_features = fps.shape[1] * 8
+    else:
+        n_features = fps.shape[1]
+        fps = np.packbits(np.asarray(fps, dtype=np.uint8), axis=-1)
+    f = n_features
+    f8 = fps.shape[1]
+    n = len(fps)
 
     per_dev = -(-n // (n_dev * batch_size)) * batch_size
-    padded = np.zeros((n_dev * per_dev, f), dtype=np.uint8)
-    padded[:n] = fps_unpacked
+    if n_dev * per_dev != n:
+        padded = np.zeros((n_dev * per_dev, f8), dtype=np.uint8)
+        padded[:n] = fps
+    else:
+        padded = np.asarray(fps, dtype=np.uint8)
     n_batches = per_dev // batch_size
 
-    if capacity is None:
-        capacity = per_dev + batch_size + 1
-    cap = _next_pow2(capacity)
-    merge_cap = _next_pow2(
-        merge_capacity if merge_capacity is not None else n_dev * cap + 1
-    )
-    # Groups are opened device-side on tile overflow; bound by cluster count
+    cap = _next_pow2(capacity if capacity is not None else per_dev + 1)
     g_cap = _next_pow2(g_capacity if g_capacity is not None else cap + 2)
-    g_cap_merge = _next_pow2(merge_cap + 2)
     block = min(centroid_block, cap)
-    merge_block = min(centroid_block, merge_cap)
-    merge_batch = batch_size
+    threshold_ = jnp.float32(threshold)
+    m_threshold = jnp.float32(threshold + merge_threshold_change)
+    tolerance_ = jnp.float32(tolerance)
+    m_criterion = (
+        merge_criterion_merge if merge_criterion_merge is not None
+        else merge_criterion
+    )
+
+    # ---- initial round: one compiled SPMD program ----
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
         check_vma=False,
     )
-    def run(local_fps):  # (per_dev, F) on each device
-        threshold_ = jnp.float32(threshold)
-        tolerance_ = jnp.float32(tolerance)
+    def initial_round(local_pk):  # (per_dev, F8) on each device
         state = _init_state(cap, g_cap, tile, f)
-        # Validity from global row index (supports genuinely all-zero fps)
+        # Validity from the global row index (supports all-zero fps rows)
         my_base = lax.axis_index(axis_name) * per_dev
         local_idx = my_base + jnp.arange(per_dev, dtype=jnp.int32)
         valid = (local_idx < n).reshape(n_batches, batch_size)
-        batches = local_fps.reshape(n_batches, batch_size, f)
-        state, local_assigned = _scan_insert(
+        batches = local_pk.reshape(n_batches, batch_size, f8)
+        state, local_assigned = _scan_insert_packed(
             state, batches, valid, threshold_, tolerance_, merge_criterion,
-            block, max_rounds,
+            block, max_rounds, f,
         )
+        return local_assigned[None], state.ls[None], state.n[None]
 
-        # --- CF exchange over ICI: gather every device's cluster table ---
-        all_ls = lax.all_gather(state.ls, axis_name)  # (D, cap, F)
-        all_n = lax.all_gather(state.n, axis_name)  # (D, cap)
-        n_rows = n_dev * cap
-        gathered_ls = all_ls.reshape(n_rows, f)
-        gathered_n = all_n.reshape(n_rows)
-
-        # Largest-clusters-first ordering (the batched analogue of
-        # multiround's uint16-before-uint8 file ordering); empty slots sink
-        order = jnp.argsort(-gathered_n, stable=True)
-        sorted_ls = gathered_ls[order]
-        sorted_n = gathered_n[order]
-
-        # --- merge round (replicated on all devices) ---
-        m_state = _init_state(merge_cap, g_cap_merge, tile, f)
-        n_mbatches = -(-n_rows // merge_batch)
-        pad_rows = n_mbatches * merge_batch - n_rows
-        sorted_ls = jnp.pad(sorted_ls, ((0, pad_rows), (0, 0)))
-        sorted_n = jnp.pad(sorted_n, (0, pad_rows))
-        m_state, m_assigned_sorted = _scan_insert_buffers(
-            m_state,
-            sorted_ls.reshape(n_mbatches, merge_batch, f),
-            sorted_n.reshape(n_mbatches, merge_batch),
-            threshold_, tolerance_, merge_criterion, merge_block, max_rounds,
-        )
-        # Un-sort the merge assignments back to (device, slot) order
-        m_assigned = (
-            jnp.zeros((n_rows,), jnp.int32)
-            .at[order]
-            .set(m_assigned_sorted[:n_rows])
-        )
-
-        return (
-            local_assigned[None],  # (1, per_dev) per-device
-            m_assigned,  # replicated: (D*cap,) merge slot per gathered row
-            m_state.ls,  # replicated merged tables
-            m_state.n,
-        )
-
-    local_assigned, m_assigned, merged_ls, merged_n = run(jnp.asarray(padded))
-
+    sharding = NamedSharding(mesh, P(axis_name))
+    local_pk = jax.device_put(padded, sharding)
+    local_assigned, tables_ls, tables_n = initial_round(local_pk)
     local_assigned = np.asarray(local_assigned).reshape(n_dev, per_dev)
-    m_assigned = np.asarray(m_assigned)
-    merged_ls = np.asarray(merged_ls)
-    merged_n = np.asarray(merged_n)
 
-    # Compose: input row -> (device, local slot) -> merged slot
+    # ---- merge reduction: ceil(log2(D)) rounds of pair-merges over ICI ----
+
+    num_rounds = max(1, math.ceil(math.log2(n_dev))) if n_dev > 1 else 0
+    cur_cap = cap
+    # (own_assign, recv_assign) per round, pulled to host for composition
+    round_maps: list[tuple[np.ndarray, np.ndarray]] = []
+
+    for r in range(num_rounds):
+        stride = 1 << r
+        out_cap = _next_pow2(min(
+            2 * cur_cap,
+            merge_capacity if merge_capacity is not None else 2 * cur_cap,
+        ))
+        out_cap = max(out_cap, cur_cap)  # table must fit unmerged worst case
+        perm = [
+            (s, s - stride)
+            for s in range(n_dev)
+            if s % (2 * stride) == stride
+        ]
+        in_cap = cur_cap
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=(
+                P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+            ),
+            check_vma=False,
+        )
+        def merge_round(cur_ls, cur_n):  # (1, in_cap, F) / (1, in_cap)
+            cur_ls, cur_n = cur_ls[0], cur_n[0]
+            recv_ls = lax.ppermute(cur_ls, axis_name, perm)
+            recv_n = lax.ppermute(cur_n, axis_name, perm)
+            idx = lax.axis_index(axis_name)
+            is_receiver = (idx % (2 * stride)) == 0
+            rows_ls = jnp.concatenate([cur_ls, recv_ls], axis=0)
+            rows_n = jnp.concatenate([cur_n, recv_n], axis=0)
+            # Non-receivers run the same program as a no-op (masked rows)
+            rows_n = jnp.where(is_receiver, rows_n, 0)
+            new_ls, new_n, assigned = _rebuild_tables(
+                rows_ls, rows_n, out_cap, tile, batch_size, m_threshold,
+                tolerance_, m_criterion, centroid_block, max_rounds,
+            )
+            own_assign = assigned[:in_cap]
+            recv_assign = assigned[in_cap:]
+            return (
+                new_ls[None], new_n[None],
+                own_assign[None], recv_assign[None],
+            )
+
+        tables_ls, tables_n, own_assign, recv_assign = merge_round(
+            tables_ls, tables_n
+        )
+        round_maps.append(
+            (np.asarray(own_assign), np.asarray(recv_assign))
+        )
+        cur_cap = out_cap
+
+    # ---- compose labels on host ----
+    # Each input row: (device, local slot) -> walk the reduction tree.
     labels = np.empty(n, dtype=np.int64)
+    dev_of = np.empty(n, dtype=np.int64)
     for d in range(n_dev):
-        lo = d * per_dev
-        hi = min((d + 1) * per_dev, n)
+        lo, hi = d * per_dev, min((d + 1) * per_dev, n)
         if lo >= n:
             break
-        local = local_assigned[d, : hi - lo]
-        labels[lo:hi] = m_assigned[d * cap + local]
+        labels[lo:hi] = local_assigned[d, : hi - lo]
+        dev_of[lo:hi] = d
+    for r, (own_assign, recv_assign) in enumerate(round_maps):
+        stride = 1 << r
+        rem = dev_of % (2 * stride)
+        is_own = rem == 0
+        is_sent = rem == stride
+        labels[is_own] = own_assign[dev_of[is_own], labels[is_own]]
+        recv_dev = dev_of[is_sent] - stride
+        labels[is_sent] = recv_assign[recv_dev, labels[is_sent]]
+        dev_of[is_sent] = recv_dev
 
+    # ---- pull the final table (device 0's shard) ----
+    merged_ls = np.asarray(tables_ls)[0]
+    merged_n = np.asarray(tables_n)[0]
     num = int((merged_n > 0).sum())
     live = np.nonzero(merged_n > 0)[0]
-    # Compact merged slots to a dense range
     remap = np.full(len(merged_n), -1, dtype=np.int64)
     remap[live] = np.arange(num)
     return ShardedClusters(

@@ -234,3 +234,28 @@ def test_run_batch_engine_refine(runner, fps_file, tmp_path) -> None:
     # size-descending order preserved through refinement
     sizes = [len(c) for c in clusters]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_run_sharded_engine(runner, fps_file, tmp_path) -> None:
+    r"""bb run --engine sharded produces a consistent clusters.pkl over the
+    virtual 8-device mesh."""
+    out = tmp_path / "out-sharded"
+    result = runner.invoke(
+        main,
+        ["run", str(fps_file), "-o", str(out), "-t", "0.3",
+         "--engine", "sharded", "--batch-size", "64", "--no-monitor-mem",
+         "-V"],
+    )
+    assert result.exit_code == 0, result.output
+    import pickle
+
+    with open(out / "clusters.pkl", "rb") as f:
+        clusters = pickle.load(f)
+    flat = sorted(i for c in clusters for i in c)
+    assert flat == list(range(len(flat)))
+    sizes = [len(c) for c in clusters]
+    assert sizes == sorted(sizes, reverse=True)
+    import json
+
+    cfg = json.loads((out / "config.json").read_text())
+    assert cfg["n_devices"] == 8

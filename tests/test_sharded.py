@@ -72,6 +72,49 @@ def test_parallel_vs_single_device(fps) -> None:
     assert res8.sizes.sum() == res1.sizes.sum() == 600
 
 
+def _weighted_isim(sums, counts) -> float:
+    tot = w = 0.0
+    for ls, n in zip(sums, counts):
+        if n >= 2:
+            tot += n * jt_isim_from_sum(np.asarray(ls, np.uint64), int(n))
+            w += n
+    return tot / max(w, 1.0)
+
+
+def test_sharded_matches_batch_engine_quality(fps) -> None:
+    r"""8-device sharded labels match the single-device batch engine on
+    cluster count and sample-weighted cohesion (the sharded analogue of
+    ``test_near_serial_agreement``)."""
+    from bblean_tpu.engine.batch import BatchTree
+
+    threshold = 0.3
+    res8 = _fit(fps, 8, threshold=threshold)
+    tree = BatchTree(
+        2048, threshold=threshold, batch_size=128, initial_capacity=1024,
+        route_block=128,
+    )
+    tree.insert_fps(fps, range(len(fps)))
+    n_batch = tree.num_clusters
+    # Count regime: within 15% + 3 of the single-device batch engine
+    assert abs(res8.num_clusters - n_batch) <= 0.15 * n_batch + 3
+    # Cohesion parity: sample-weighted mean cluster iSIM within 2%
+    w8 = _weighted_isim(res8.linear_sums, res8.sizes)
+    w1 = _weighted_isim(tree.linear_sums(), tree.cluster_sizes())
+    assert w8 >= w1 - 0.02
+
+
+def test_merge_round_threshold_change(fps) -> None:
+    r"""Merge rounds honoring a threshold change merge more aggressively."""
+    strict = _fit(fps, 4, threshold=0.65)
+    mesh = get_mesh(4)
+    loose = sharded_fit(
+        fps, mesh, threshold=0.65, merge_threshold_change=-0.35,
+        batch_size=128, centroid_block=128, max_rounds=16,
+    )
+    assert loose.num_clusters <= strict.num_clusters
+    assert loose.sizes.sum() == 600
+
+
 def test_linear_sums_match_members(fps) -> None:
     res = _fit(fps, 4)
     for slot in range(res.num_clusters):
