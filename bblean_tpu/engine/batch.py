@@ -449,32 +449,39 @@ def _batch_step_impl(
         )
         commit = merge_commit | create_commit | join_commit
 
-        # ---- 6. scatter-commit the flat cluster tables ----
-        upd_slot = jnp.where(commit, slot_of_row, guard_c)
-        add_ls = jnp.where(commit[:, None], row_ls, 0)
-        add_n = jnp.where(commit, row_n, 0)
-        ls = state.ls.at[upd_slot].add(add_ls)
-        n = state.n.at[upd_slot].add(add_n)
+        # ---- 6. scatter-commit the flat cluster tables.  Masked rows use an
+        # out-of-bounds index + mode="drop": a shared in-bounds guard slot
+        # makes XLA serialize the duplicate updates (~60 ms per scatter at
+        # M=8192 measured on v5e vs ~1 ms dropped) ----
+        c_cap_arr = state.ls.shape[0]
+        upd_slot = jnp.where(commit, slot_of_row, c_cap_arr)
+        ls = state.ls.at[upd_slot].add(row_ls, mode="drop")
+        n = state.n.at[upd_slot].add(row_n, mode="drop")
         num = state.num + jnp.sum(create_commit.astype(jnp.int32))
         g_num = jnp.minimum(
             state.g_num + jnp.sum(seg_new), jnp.int32(g_cap_arr - 1)
         )
-        cg = state.group.at[
-            jnp.where(create_commit, new_slot, guard_c)
-        ].set(jnp.where(create_commit, tgt_group, state.group[guard_c]))
-        cpos = state.pos.at[
-            jnp.where(create_commit, new_slot, guard_c)
-        ].set(jnp.where(create_commit, tgt_pos, state.pos[guard_c]))
+        new_slot_drop = jnp.where(create_commit, new_slot, c_cap_arr)
+        cg = state.group.at[new_slot_drop].set(
+            tgt_group, mode="drop", unique_indices=True
+        )
+        cpos = state.pos.at[new_slot_drop].set(
+            tgt_pos, mode="drop", unique_indices=True
+        )
         g_count = state.g_count.at[
-            jnp.where(create_commit, tgt_group, guard_g)
-        ].add(jnp.where(create_commit, 1, 0))
+            jnp.where(create_commit, tgt_group, g_cap_arr)
+        ].add(1, mode="drop")
 
         # ---- 7. write tile entries for CREATED clusters only.  Merged
         # clusters keep a slightly stale tile centroid within this step; the
         # post-loop refresh rebuilds every live tile entry from the CF truth
         # (recomputing gathered centroids every round cost ~10 ms/round) ----
-        gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(gj_ls[jgrp])
-        gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(gj_n[jgrp])
+        gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
+            gj_ls[jgrp], unique_indices=True
+        )
+        gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(
+            gj_n[jgrp], unique_indices=True
+        )
         created_ls = jnp.where(
             (join_ok & fits)[:, None], gj_full_ls, row_ls
         )
@@ -483,27 +490,21 @@ def _batch_step_impl(
             created_ls, jnp.maximum(created_n, 1)
         )
         c_packed = pack_fingerprints_device(c_cent)
-        ts_g = jnp.where(create_commit, tgt_group, guard_g)
-        ts_p = jnp.where(create_commit, tgt_pos, tile - 1)
-        t_pk = state.t_pk.at[ts_g, ts_p].set(
-            jnp.where(create_commit[:, None], c_packed, state.t_pk[ts_g, ts_p])
+        ts_g = jnp.where(create_commit, tgt_group, g_cap_arr)
+        t_pk = state.t_pk.at[ts_g, tgt_pos].set(
+            c_packed, mode="drop", unique_indices=True
         )
-        t_pops = state.t_pops.at[ts_g, ts_p].set(
-            jnp.where(
-                create_commit,
-                jnp.sum(c_cent.astype(jnp.int32), axis=-1),
-                state.t_pops[ts_g, ts_p],
-            )
+        t_pops = state.t_pops.at[ts_g, tgt_pos].set(
+            jnp.sum(c_cent.astype(jnp.int32), axis=-1),
+            mode="drop",
+            unique_indices=True,
         )
-        t_slot = state.t_slot.at[ts_g, ts_p].set(
-            jnp.where(create_commit, new_slot, state.t_slot[ts_g, ts_p])
+        t_slot = state.t_slot.at[ts_g, tgt_pos].set(
+            new_slot, mode="drop", unique_indices=True
         )
 
-        # ---- 8. fold committed rows into their group CFs (centroids are
-        # refreshed once after the loop) ----
-        row_g_slot = jnp.where(commit, cg[upd_slot], guard_g)
-        g_ls = state.g_ls.at[row_g_slot].add(add_ls)
-        g_n = state.g_n.at[row_g_slot].add(add_n)
+        # (group CFs g_ls/g_n are folded in ONCE per step by
+        # _refresh_touched — nothing inside the loop reads them)
 
         assigned = jnp.where(commit, slot_of_row, assigned)
         pending = pending & ~commit
@@ -515,7 +516,7 @@ def _batch_step_impl(
         strikes = jnp.where(pending, strikes + struck.astype(jnp.int32), 0)
         new_state = BatchState(
             ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
-            g_ls, g_n, state.g_cent, state.g_pops, g_count, g_num,
+            state.g_ls, state.g_n, state.g_cent, state.g_pops, g_count, g_num,
         )
         return (new_state, pending, assigned, strikes, r + 1)
 
@@ -525,42 +526,48 @@ def _batch_step_impl(
     state, pending, assigned, _strikes, rounds = lax.while_loop(
         cond, round_body, (state, pending0, assigned0, strikes0, jnp.int32(0))
     )
-    state = _refresh_touched(state, assigned)
+    state = _refresh_touched(state, assigned, row_ls, row_n)
     return state, assigned, jnp.sum(pending.astype(jnp.int32)) * 1000 + rounds
 
 
-def _refresh_touched(state: BatchState, assigned: Array) -> BatchState:
-    r"""Refresh derived tables (tile + routing centroids) for the clusters
-    and groups this step committed to — once per step, not per round."""
-    tile = state.t_pk.shape[1]
+def _refresh_touched(
+    state: BatchState, assigned: Array, row_ls: Array, row_n: Array
+) -> BatchState:
+    r"""Fold committed rows into their group CFs and refresh derived tables
+    (tile + routing centroids) for the clusters and groups this step
+    committed to — once per step, not per round."""
     guard_c = state.ls.shape[0] - 1
-    guard_g = state.g_ls.shape[0] - 1
+    c_cap = state.ls.shape[0]
+    g_cap = state.g_ls.shape[0]
 
     ok = assigned >= 0
-    slots = jnp.where(ok, assigned, guard_c)
+    slots = jnp.where(ok, assigned, guard_c)  # guard ok for gathers only
+    groups = state.group[slots]
+
+    # Group CF accumulation (deferred from the round loop: nothing inside
+    # the loop reads g_ls/g_n, so one scatter per step suffices)
+    g_add = jnp.where(ok, groups, g_cap)
+    g_ls = state.g_ls.at[g_add].add(row_ls, mode="drop")
+    g_n = state.g_n.at[g_add].add(row_n, mode="drop")
+    state = state._replace(g_ls=g_ls, g_n=g_n)
+
     t_ls = state.ls[slots]
     t_n = state.n[slots]
     cents = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
     pk = pack_fingerprints_device(cents)
     pops = jnp.sum(cents.astype(jnp.int32), axis=-1)
-    tg = jnp.where(ok, state.group[slots], guard_g)
-    tp = jnp.where(ok, state.pos[slots], tile - 1)
-    t_pk = state.t_pk.at[tg, tp].set(
-        jnp.where(ok[:, None], pk, state.t_pk[tg, tp])
-    )
-    t_pops = state.t_pops.at[tg, tp].set(
-        jnp.where(ok, pops, state.t_pops[tg, tp])
-    )
+    tg = jnp.where(ok, groups, g_cap)
+    tp = state.pos[slots]
+    t_pk = state.t_pk.at[tg, tp].set(pk, mode="drop")
+    t_pops = state.t_pops.at[tg, tp].set(pops, mode="drop")
 
-    g_slots = tg  # (M,) touched groups (guard for unassigned rows)
+    safe_groups = jnp.where(ok, groups, 0)
     g_cents = majority_centroid_from_sums(
-        state.g_ls[g_slots], jnp.maximum(state.g_n[g_slots], 1)
+        state.g_ls[safe_groups], jnp.maximum(state.g_n[safe_groups], 1)
     ).astype(jnp.bfloat16)
-    g_cent = state.g_cent.at[g_slots].set(
-        jnp.where(ok[:, None], g_cents, state.g_cent[g_slots])
-    )
-    g_pops = state.g_pops.at[g_slots].set(
-        jnp.where(ok, jnp.sum(g_cents.astype(jnp.int32), -1), state.g_pops[g_slots])
+    g_cent = state.g_cent.at[tg].set(g_cents, mode="drop")
+    g_pops = state.g_pops.at[tg].set(
+        jnp.sum(g_cents.astype(jnp.int32), -1), mode="drop"
     )
     return state._replace(
         t_pk=t_pk, t_pops=t_pops, g_cent=g_cent, g_pops=g_pops
@@ -576,8 +583,38 @@ _batch_step = functools.partial(
 )(_batch_step_impl)
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("k", "fanout")
+)
+def _split_topk_device(
+    state: BatchState, *, k: int, fanout: int
+) -> tuple[BatchState, Array]:
+    r"""Select the K most-populated groups ON DEVICE and split the oversized
+    ones — one dispatch, no host pulls (a host-side selection costs a full
+    pipeline sync per boundary through the TPU tunnel).
+
+    Returns (state, number of oversized groups remaining).
+    """
+    g_cap = state.g_count.shape[0]
+    live = lax.broadcasted_iota(jnp.int32, (g_cap, 1), 0)[:, 0] < state.g_num
+    counts = jnp.where(live, state.g_count, 0)
+    vals, gs = lax.top_k(counts, k)
+    active = vals > fanout
+    n_over = jnp.sum((counts > fanout).astype(jnp.int32))
+    state = _split_groups_device_impl(state, gs.astype(jnp.int32), active)
+    return state, n_over - jnp.sum(active.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _split_groups_device(
+    state: BatchState,
+    gs: Array,  # (K,) int32 group ids to split (pads repeat entry 0)
+    active: Array,  # (K,) bool (False = padding, no-op)
+) -> BatchState:
+    return _split_groups_device_impl(state, gs, active)
+
+
+def _split_groups_device_impl(
     state: BatchState,
     gs: Array,  # (K,) int32 group ids to split (pads repeat entry 0)
     active: Array,  # (K,) bool (False = padding, no-op)
@@ -658,40 +695,32 @@ def _split_groups_device(
     pos_kept = dense_pos(~to_new & occupied)
     member_pos = jnp.where(to_new, pos_moved, pos_kept)
 
-    # Re-pack tiles: scatter each occupied cell into (half, new position)
+    # Re-pack tiles: scatter each occupied cell into (half, new position);
+    # empty source cells drop via an OOB destination
     half_idx = jnp.where(to_new, 1, 0)
-    dst_cell = jnp.where(occupied, member_pos, tile - 1)
-    new_t_pk = jnp.zeros((k, 2, tile, f8), jnp.uint8)
-    new_t_pops = jnp.zeros((k, 2, tile), jnp.int32)
-    new_t_slot = jnp.full((k, 2, tile), -1, jnp.int32)
-    safe_half = jnp.where(occupied, half_idx, 0)
-    # Empty source cells target the guard cell of half 0 with slot -1 (no-op)
-    new_t_pk = new_t_pk.at[rows_b, safe_half, dst_cell].set(
-        jnp.where(occupied[:, :, None], t_pk, 0)
-    )
-    new_t_pops = new_t_pops.at[rows_b, safe_half, dst_cell].set(
-        jnp.where(occupied, t_pops, 0)
-    )
-    new_t_slot = new_t_slot.at[rows_b, safe_half, dst_cell].set(
-        jnp.where(occupied, t_slot, -1)
-    )
+    dst_cell = jnp.where(occupied, member_pos, tile)
+    new_t_pk = jnp.zeros((k, 2, tile, f8), jnp.uint8).at[
+        rows_b, half_idx, dst_cell
+    ].set(t_pk, mode="drop", unique_indices=True)
+    new_t_pops = jnp.zeros((k, 2, tile), jnp.int32).at[
+        rows_b, half_idx, dst_cell
+    ].set(t_pops, mode="drop", unique_indices=True)
+    new_t_slot = jnp.full((k, 2, tile), -1, jnp.int32).at[
+        rows_b, half_idx, dst_cell
+    ].set(t_slot, mode="drop", unique_indices=True)
 
-    # Cluster -> (group, pos) updates; empty/pad writes are idempotent
-    guard_c = state.ls.shape[0] - 1
-    flat_slot = jnp.where(
-        occupied & active[:, None], t_slot, guard_c
-    ).reshape(-1)
+    # Cluster -> (group, pos) updates; masked writes drop via OOB indices
+    # (a shared guard slot would serialize the duplicate updates)
+    c_cap = state.ls.shape[0]
+    live = occupied & active[:, None]
+    flat_slot = jnp.where(live, t_slot, c_cap).reshape(-1)
     member_grp = jnp.where(to_new, new_gs[:, None], gs[:, None])
-    cur_grp_guard = state.group[guard_c]
-    cur_pos_guard = state.pos[guard_c]
-    flat_grp = jnp.where(
-        occupied & active[:, None], member_grp, cur_grp_guard
-    ).reshape(-1)
-    flat_pos = jnp.where(
-        occupied & active[:, None], member_pos, cur_pos_guard
-    ).reshape(-1)
-    group = state.group.at[flat_slot].set(flat_grp)
-    pos = state.pos.at[flat_slot].set(flat_pos)
+    group = state.group.at[flat_slot].set(
+        member_grp.reshape(-1), mode="drop", unique_indices=True
+    )
+    pos = state.pos.at[flat_slot].set(
+        member_pos.reshape(-1), mode="drop", unique_indices=True
+    )
 
     # Group CFs of the two halves
     w_moved = (to_new & occupied).astype(jnp.int32)
@@ -704,43 +733,31 @@ def _split_groups_device(
     kept_ls = g_ls - moved_ls
     kept_n = g_n - moved_n
 
+    g_cap = state.g_ls.shape[0]
     gi = jnp.where(
-        active[:, None], jnp.stack([gs, new_gs], axis=1), guard_g
-    ).reshape(-1)
+        active[:, None], jnp.stack([gs, new_gs], axis=1), g_cap
+    ).reshape(-1)  # OOB for inactive pairs: scatters drop them
     pair_ls = jnp.stack([kept_ls, moved_ls], axis=1).reshape(2 * k, -1)
     pair_n = jnp.stack([kept_n, moved_n], axis=1).reshape(2 * k)
-    a2 = jnp.repeat(active, 2)
-    pair_ls = jnp.where(a2[:, None], pair_ls, state.g_ls[gi])
-    pair_n = jnp.where(a2, pair_n, state.g_n[gi])
     pair_cent = majority_centroid_from_sums(pair_ls, jnp.maximum(pair_n, 1))
     pair_counts = jnp.stack(
         [n_occ - jnp.sum(w_moved, axis=1), jnp.sum(w_moved, axis=1)], axis=1
     ).reshape(2 * k)
-    pair_counts = jnp.where(a2, pair_counts, state.g_count[gi])
 
-    def sel(new, cur):
-        broadcast = a2.reshape((2 * k,) + (1,) * (new.ndim - 1))
-        return jnp.where(broadcast, new, cur)
+    def dset(tab, val):
+        return tab.at[gi].set(val, mode="drop", unique_indices=True)
 
     return state._replace(
         group=group,
         pos=pos,
-        t_pk=state.t_pk.at[gi].set(
-            sel(new_t_pk.reshape(2 * k, tile, f8), state.t_pk[gi])
-        ),
-        t_pops=state.t_pops.at[gi].set(
-            sel(new_t_pops.reshape(2 * k, tile), state.t_pops[gi])
-        ),
-        t_slot=state.t_slot.at[gi].set(
-            sel(new_t_slot.reshape(2 * k, tile), state.t_slot[gi])
-        ),
-        g_ls=state.g_ls.at[gi].set(pair_ls),
-        g_n=state.g_n.at[gi].set(pair_n),
-        g_cent=state.g_cent.at[gi].set(pair_cent.astype(jnp.bfloat16)),
-        g_pops=state.g_pops.at[gi].set(
-            jnp.sum(pair_cent.astype(jnp.int32), axis=-1)
-        ),
-        g_count=state.g_count.at[gi].set(pair_counts),
+        t_pk=dset(state.t_pk, new_t_pk.reshape(2 * k, tile, f8)),
+        t_pops=dset(state.t_pops, new_t_pops.reshape(2 * k, tile)),
+        t_slot=dset(state.t_slot, new_t_slot.reshape(2 * k, tile)),
+        g_ls=dset(state.g_ls, pair_ls),
+        g_n=dset(state.g_n, pair_n),
+        g_cent=dset(state.g_cent, pair_cent.astype(jnp.bfloat16)),
+        g_pops=dset(state.g_pops, jnp.sum(pair_cent.astype(jnp.int32), -1)),
+        g_count=dset(state.g_count, pair_counts),
         g_num=state.g_num + jnp.sum(active.astype(jnp.int32)),
     )
 
@@ -1044,7 +1061,8 @@ class BatchTree:
             missing = (final_assigned == -1) & host_valid
             if not missing.any():
                 break
-            self._split_oversized_groups()
+            # The retry loop syncs anyway, so fully drain oversized groups
+            self._split_oversized_groups(drain=True)
             row_n = jnp.where(jnp.asarray(missing), row_n, 0)
             self._ensure_capacity(self.batch_size)
             self.state, assigned, _enc = _batch_step(
@@ -1064,33 +1082,26 @@ class BatchTree:
 
     # -- host control plane: group splits ------------------------------------
 
-    def _split_oversized_groups(self) -> None:
-        r"""Split any group whose cluster count exceeds ``fanout``.
+    def _split_oversized_groups(self, drain: bool = False) -> None:
+        r"""Split groups whose cluster count exceeds ``fanout``.
 
-        The control plane only *detects* oversized groups (one small
-        ``g_count`` pull); the split itself — seed selection, balanced
-        partition, tile re-pack, CF bookkeeping — runs entirely on device in
-        one dispatch per pass (``_split_groups_device``).
+        Selection AND split (seed pair, balanced partition, tile re-pack,
+        CF bookkeeping) run entirely on device in one top-K dispatch per
+        pass — the host never pulls ``g_count`` (every pull through the TPU
+        tunnel syncs the whole queued pipeline).  The steady state runs one
+        pass per boundary: groups beyond the top K stay correct through
+        overflow chunking and are caught at the next boundary.  ``drain``
+        loops until nothing is oversized (used when a sync happens anyway).
         """
         k = self.split_k  # splits per device call (static shape)
-        if int(_max_group_count(self.state)) <= self.fanout:
-            return
         for _ in range(64):
-            g_count = np.asarray(self.state.g_count)[: self.num_groups]
-            oversized = np.nonzero(g_count > self.fanout)[0]
-            if not oversized.size:
+            self._ensure_capacity(k)
+            self.state, n_left = _split_topk_device(
+                self.state, k=k, fanout=self.fanout
+            )
+            self._g_upper += k
+            if not drain or int(n_left) <= 0:
                 return
-            self._ensure_capacity(len(oversized))
-            for start in range(0, len(oversized), k):
-                chunk = oversized[start : start + k]
-                gs = np.full(k, chunk[0], dtype=np.int32)
-                gs[: len(chunk)] = chunk
-                active = np.zeros(k, dtype=bool)
-                active[: len(chunk)] = True
-                self.state = _split_groups_device(
-                    self.state, jnp.asarray(gs), jnp.asarray(active)
-                )
-                self._g_upper += len(chunk)
 
     # -- refinement ----------------------------------------------------------
 
