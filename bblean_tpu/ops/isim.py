@@ -30,9 +30,12 @@ __all__ = [
 def isim_from_sums(ls: Array, n: Array) -> Array:
     r"""Batched iSIM: ``ls`` (C, F) linear sums, ``n`` (C,) counts -> (C,) f32.
 
-    Sums are accumulated in f64-exact integer form is not available on TPU;
-    instead K and Ksq are computed in f32 from int32 inputs, exact while
-    ``Ksq < 2^24``; beyond that the engine promotes to f64 blocks on host.
+    Precision contract: K and Ksq are f32 tree reductions over int32 sums,
+    giving relative error ~= log2(F) * 2^-24.  Measured against the host
+    float64 kernel, the worst case over cluster sizes up to 10M members and
+    densities 0.1-0.9 is < 3e-7 relative (``tests/test_ops.py``,
+    ``test_isim_precision_at_scale``) — merge decisions can only flip
+    within that margin of the threshold.
     """
     lsf = ls.astype(jnp.float32)
     k = jnp.sum(lsf, axis=-1)

@@ -147,3 +147,26 @@ def test_merge_accept_batch_matches_host(criterion, threshold) -> None:
         )
     )
     assert got.tolist() == expect
+
+
+def test_isim_precision_at_scale() -> None:
+    r"""Device f32 iSIM must stay within 1e-6 relative of the host float64
+    kernel for cluster sizes up to 10M members (the precision contract in
+    ``ops/isim.py`` — large merged clusters must not drift)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bblean_tpu._np_similarity import jt_isim_from_sum
+    from bblean_tpu.ops.isim import isim_from_sums
+
+    rng = np.random.default_rng(0)
+    for n in (1_000, 100_000, 1_000_000, 10_000_000):
+        for density in (0.1, 0.35, 0.9):
+            ls = (rng.random(2048) * n * density).astype(np.int64)
+            host = jt_isim_from_sum(ls.astype(np.uint64), n)
+            dev = float(
+                isim_from_sums(
+                    jnp.asarray(ls, jnp.int32)[None], jnp.asarray([n])
+                )[0]
+            )
+            assert abs(dev - host) <= 1e-6 * abs(host), (n, density)
