@@ -8,12 +8,15 @@ device tables:
 - **groups** (the analogue of internal-node entries): a routing table of
   group majority centroids ``(G, F) bf16`` searched with one MXU matmul per
   round, plus group CF aggregates;
-- **clusters** (the leaf subclusters): flat CF tables ``ls (C, F) int32`` /
-  ``n (C,)`` plus **per-group packed-centroid tiles** ``(G, Fc, F/8) uint8``
-  — the in-group candidate set a routed row actually scores, with AND +
-  ``lax.population_count`` on the VPU.  A row therefore touches
-  ``G*F`` (MXU) + ``Fc*F/8`` (VPU) work per round instead of ``C*F``:
-  the depth-2 analogue of the tree's O(log) search, with both levels batched.
+- **clusters** (the leaf subclusters): a flat count table ``n (C,)`` plus a
+  **sparse linear-sum pool** — only multi-member clusters own an
+  ``(F,) int32`` pool row (``ls_ref``), while a singleton's exact CF is its
+  packed tile entry (``F/8`` bytes, no extra storage); plus **per-group
+  packed-centroid tiles** ``(G, Fc, F/8) uint8`` — the in-group candidate
+  set a routed row actually scores, with AND + ``lax.population_count`` on
+  the VPU.  A row therefore touches ``G*F`` (MXU) + ``Fc*F/8`` (VPU) work
+  per round instead of ``C*F``: the depth-2 analogue of the tree's O(log)
+  search, with both levels batched.
 
 Each jitted round of a batch step:
 
@@ -75,10 +78,22 @@ _NEG = -2.0  # below any similarity
 
 
 class BatchState(tp.NamedTuple):
-    r"""Device-side depth-2 CF-tree (capacity-padded flat tables)."""
+    r"""Device-side depth-2 CF-tree (capacity-padded flat tables).
 
+    Linear sums live in a **sparse pool**: only multi-member clusters hold a
+    pool row (``ls_ref >= 0``).  A singleton's CF needs no storage at all —
+    its exact 0/1 linear sum IS its packed tile entry (``t_pk[group, pos]``).
+    At high thresholds (~98% singletons) this cuts per-cluster memory from
+    ``F * 4`` bytes to ``F / 8``, which is what lets 10M-row runs fit one
+    chip's HBM (the TPU analogue of the reference's minimum-dtype buffers,
+    ``bblean/bitbirch.py:476-499``).
+    """
+
+    # Sparse linear-sum pool (multi-member clusters only)
+    ls: Array  # (P_cap, F) int32 linear sums
+    num_ls: Array  # () int32 allocated pool rows
     # Leaf clusters (flat)
-    ls: Array  # (C_cap, F) int32 linear sums
+    ls_ref: Array  # (C_cap,) int32 pool row per slot, -1 = singleton
     n: Array  # (C_cap,) int32 sizes (0 = empty slot)
     group: Array  # (C_cap,) int32 owning group id
     pos: Array  # (C_cap,) int32 position within the group tile
@@ -97,11 +112,19 @@ class BatchState(tp.NamedTuple):
 
 
 def _init_state(
-    capacity: int, g_capacity: int, tile: int, n_features: int
+    capacity: int,
+    g_capacity: int,
+    tile: int,
+    n_features: int,
+    ls_capacity: int | None = None,
 ) -> BatchState:
     f8 = (n_features + 7) // 8
+    if ls_capacity is None:
+        ls_capacity = capacity
     return BatchState(
-        ls=jnp.zeros((capacity, n_features), dtype=jnp.int32),
+        ls=jnp.zeros((ls_capacity, n_features), dtype=jnp.int32),
+        num_ls=jnp.zeros((), dtype=jnp.int32),
+        ls_ref=jnp.full((capacity,), -1, dtype=jnp.int32),
         n=jnp.zeros((capacity,), dtype=jnp.int32),
         group=jnp.zeros((capacity,), dtype=jnp.int32),
         pos=jnp.zeros((capacity,), dtype=jnp.int32),
@@ -118,11 +141,27 @@ def _init_state(
     )
 
 
-def _grow_state(state: BatchState, new_c: int, new_g: int) -> BatchState:
-    pad_c = new_c - state.ls.shape[0]
+def _cluster_ls_of(state: BatchState, slots: Array, n_features: int) -> Array:
+    r"""Reconstruct (M, F) int32 linear sums for cluster ``slots``:
+    pool row when allocated, else the exact singleton bits from the packed
+    tile entry."""
+    ref = state.ls_ref[slots]
+    pool_rows = state.ls[jnp.maximum(ref, 0)]
+    pk = state.t_pk[state.group[slots], state.pos[slots]]
+    bits = unpack_fingerprints_device(pk, n_features).astype(jnp.int32)
+    return jnp.where((ref >= 0)[:, None], pool_rows, bits)
+
+
+def _grow_state(
+    state: BatchState, new_c: int, new_g: int, new_p: int | None = None
+) -> BatchState:
+    pad_c = new_c - state.n.shape[0]
     pad_g = new_g - state.g_ls.shape[0]
+    pad_p = (new_p - state.ls.shape[0]) if new_p is not None else 0
     return BatchState(
-        ls=jnp.pad(state.ls, ((0, pad_c), (0, 0))),
+        ls=jnp.pad(state.ls, ((0, pad_p), (0, 0))),
+        num_ls=state.num_ls,
+        ls_ref=jnp.pad(state.ls_ref, (0, pad_c), constant_values=-1),
         n=jnp.pad(state.n, (0, pad_c)),
         group=jnp.pad(state.group, (0, pad_c)),
         pos=jnp.pad(state.pos, (0, pad_c)),
@@ -261,11 +300,11 @@ def _batch_step_impl(
     assigned == -1 marks rows the host must retry after splitting oversized
     groups.
     """
-    m, _f = row_ls.shape
+    m, n_features = row_ls.shape
     tile = state.t_pk.shape[1]
     big = jnp.int32(1 << 30)
     row_idx = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
-    guard_c = state.ls.shape[0] - 1  # scratch slot (never live; host keeps free)
+    guard_c = state.n.shape[0] - 1  # scratch slot (never live; host keeps free)
     guard_g = state.g_ls.shape[0] - 1
 
     def cond(carry):
@@ -298,8 +337,9 @@ def _batch_step_impl(
         has_cand = best_sim > -1.5
 
         # ---- 3. individual merge evaluation ----
-        cand_ls = state.ls[best]
+        cand_ls = _cluster_ls_of(state, best, n_features)
         cand_n = state.n[best]
+        cand_ref = state.ls_ref[best]
         accept = merge_accept_batch(
             criterion, threshold, cand_ls + row_ls, cand_n + row_n, cand_ls,
             cand_n, row_n, tolerance=tolerance,
@@ -453,10 +493,7 @@ def _batch_step_impl(
         # out-of-bounds index + mode="drop": a shared in-bounds guard slot
         # makes XLA serialize the duplicate updates (~60 ms per scatter at
         # M=8192 measured on v5e vs ~1 ms dropped) ----
-        c_cap_arr = state.ls.shape[0]
-        upd_slot = jnp.where(commit, slot_of_row, c_cap_arr)
-        ls = state.ls.at[upd_slot].add(row_ls, mode="drop")
-        n = state.n.at[upd_slot].add(row_n, mode="drop")
+        c_cap_arr = state.n.shape[0]
         num = state.num + jnp.sum(create_commit.astype(jnp.int32))
         g_num = jnp.minimum(
             state.g_num + jnp.sum(seg_new), jnp.int32(g_cap_arr - 1)
@@ -472,10 +509,11 @@ def _batch_step_impl(
             jnp.where(create_commit, tgt_group, g_cap_arr)
         ].add(1, mode="drop")
 
-        # ---- 7. write tile entries for CREATED clusters only.  Merged
-        # clusters keep a slightly stale tile centroid within this step; the
-        # post-loop refresh rebuilds every live tile entry from the CF truth
-        # (recomputing gathered centroids every round cost ~10 ms/round) ----
+        # ---- 7. aggregates of joint creations + tile entries for CREATED
+        # clusters only.  Merged clusters keep a slightly stale tile centroid
+        # within this step; the post-loop refresh rebuilds every touched tile
+        # entry from the CF truth (recomputing gathered centroids every round
+        # cost ~10 ms/round) ----
         gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
             gj_ls[jgrp], unique_indices=True
         )
@@ -503,6 +541,72 @@ def _batch_step_impl(
             new_slot, mode="drop", unique_indices=True
         )
 
+        # ---- 8. sparse linear-sum pool bookkeeping.  Pool rows are
+        # allocated for (a) singletons receiving their first merge
+        # ("promotion": old bits + this round's committed rows) and (b)
+        # multi-member creations (leader + joiners aggregated).  Capacity is
+        # guaranteed by the host: promotions + pooled creations per batch
+        # never exceed the valid row count.  All merge updates are
+        # PRE-AGGREGATED per candidate segment (one writer row each) —
+        # per-row scatter-adds serialize whenever many rows hit the same
+        # hot cluster, which is the norm at low thresholds. ----
+        p_cap_arr = state.ls.shape[0]
+        cand_ref_s = cand_ref[aorder]
+        seg_add_ls = jax.ops.segment_sum(
+            jnp.where(committed_sorted[:, None], row_ls[aorder], 0),
+            agrp,
+            num_segments=m,
+        )[agrp]  # (M, F): each sorted row -> its segment's committed sum
+        seg_any = astart & committed_sorted  # one writer per segment
+        promo_sorted = seg_any & (cand_ref_s < 0)
+        adder_sorted = seg_any & (cand_ref_s >= 0)
+        pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
+        pool_created_n = jnp.where(join_ok, gj_full_n, row_n)
+        create_pool = create_commit & (pool_created_n >= 2)
+        n_promo = jnp.sum(promo_sorted.astype(jnp.int32))
+        ref_promo_sorted = (
+            state.num_ls + jnp.cumsum(promo_sorted.astype(jnp.int32)) - 1
+        )
+        ref_create = (
+            state.num_ls
+            + n_promo
+            + jnp.cumsum(create_pool.astype(jnp.int32))
+            - 1
+        )
+        num_ls = (
+            state.num_ls + n_promo + jnp.sum(create_pool.astype(jnp.int32))
+        )
+        pool = state.ls.at[
+            jnp.where(promo_sorted, ref_promo_sorted, p_cap_arr)
+        ].set(cand_ls_s + seg_add_ls, mode="drop", unique_indices=True)
+        pool = pool.at[
+            jnp.where(adder_sorted, cand_ref_s, p_cap_arr)
+        ].add(seg_add_ls, mode="drop", unique_indices=True)
+        pool = pool.at[jnp.where(create_pool, ref_create, p_cap_arr)].set(
+            pool_created_ls, mode="drop", unique_indices=True
+        )
+        best_s = best[aorder]
+        ls_ref = state.ls_ref.at[
+            jnp.where(promo_sorted, best_s, c_cap_arr)
+        ].set(ref_promo_sorted, mode="drop", unique_indices=True)
+        ls_ref = ls_ref.at[jnp.where(create_pool, new_slot, c_cap_arr)].set(
+            ref_create, mode="drop", unique_indices=True
+        )
+
+        # Cluster counts, pre-aggregated the same way: one writer per merge
+        # segment, creations carry their joiners' counts
+        seg_add_n = jax.ops.segment_sum(
+            jnp.where(committed_sorted, row_n[aorder], 0),
+            agrp,
+            num_segments=m,
+        )[agrp]
+        n = state.n.at[jnp.where(seg_any, best_s, c_cap_arr)].add(
+            seg_add_n, mode="drop", unique_indices=True
+        )
+        n = n.at[jnp.where(create_commit, new_slot, c_cap_arr)].add(
+            pool_created_n, mode="drop", unique_indices=True
+        )
+
         # (group CFs g_ls/g_n are folded in ONCE per step by
         # _refresh_touched — nothing inside the loop reads them)
 
@@ -515,7 +619,7 @@ def _batch_step_impl(
         )
         strikes = jnp.where(pending, strikes + struck.astype(jnp.int32), 0)
         new_state = BatchState(
-            ls, n, cg, cpos, num, t_pk, t_pops, t_slot,
+            pool, num_ls, ls_ref, n, cg, cpos, num, t_pk, t_pops, t_slot,
             state.g_ls, state.g_n, state.g_cent, state.g_pops, g_count, g_num,
         )
         return (new_state, pending, assigned, strikes, r + 1)
@@ -536,8 +640,8 @@ def _refresh_touched(
     r"""Fold committed rows into their group CFs and refresh derived tables
     (tile + routing centroids) for the clusters and groups this step
     committed to — once per step, not per round."""
-    guard_c = state.ls.shape[0] - 1
-    c_cap = state.ls.shape[0]
+    guard_c = state.n.shape[0] - 1
+    n_features = state.g_ls.shape[1]
     g_cap = state.g_ls.shape[0]
 
     ok = assigned >= 0
@@ -545,29 +649,60 @@ def _refresh_touched(
     groups = state.group[slots]
 
     # Group CF accumulation (deferred from the round loop: nothing inside
-    # the loop reads g_ls/g_n, so one scatter per step suffices)
-    g_add = jnp.where(ok, groups, g_cap)
-    g_ls = state.g_ls.at[g_add].add(row_ls, mode="drop")
-    g_n = state.g_n.at[g_add].add(row_n, mode="drop")
+    # the loop reads g_ls/g_n, so one scatter per step suffices).  Rows are
+    # pre-aggregated per group — duplicate scatter indices serialize.
+    m = assigned.shape[0]
+    gkey = jnp.where(ok, groups, jnp.int32(1 << 30))
+    gorder, ggrp, gstart = _group_ids_by_key(gkey)
+    ok_sorted = ok[gorder]
+    grp_sum_ls = jax.ops.segment_sum(
+        jnp.where(ok_sorted[:, None], row_ls[gorder], 0),
+        ggrp,
+        num_segments=m,
+    )[ggrp]
+    grp_sum_n = jax.ops.segment_sum(
+        jnp.where(ok_sorted, row_n[gorder], 0), ggrp, num_segments=m
+    )[ggrp]
+    writer = gstart & ok_sorted
+    g_idx = jnp.where(writer, groups[gorder], g_cap)
+    g_ls = state.g_ls.at[g_idx].add(
+        grp_sum_ls, mode="drop", unique_indices=True
+    )
+    g_n = state.g_n.at[g_idx].add(
+        grp_sum_n, mode="drop", unique_indices=True
+    )
     state = state._replace(g_ls=g_ls, g_n=g_n)
 
-    t_ls = state.ls[slots]
-    t_n = state.n[slots]
+    # Tile entries: one writer per distinct touched cluster
+    skey = jnp.where(ok, slots, jnp.int32(1 << 30))
+    sorder, _sgrp, sstart = _group_ids_by_key(skey)
+    writer_c = sstart & ok[sorder]
+    slots_s = slots[sorder]
+    t_ls = _cluster_ls_of(state, slots_s, n_features)
+    t_n = state.n[slots_s]
     cents = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
     pk = pack_fingerprints_device(cents)
     pops = jnp.sum(cents.astype(jnp.int32), axis=-1)
-    tg = jnp.where(ok, groups, g_cap)
-    tp = state.pos[slots]
-    t_pk = state.t_pk.at[tg, tp].set(pk, mode="drop")
-    t_pops = state.t_pops.at[tg, tp].set(pops, mode="drop")
+    tg = jnp.where(writer_c, state.group[slots_s], g_cap)
+    tp = state.pos[slots_s]
+    t_pk = state.t_pk.at[tg, tp].set(pk, mode="drop", unique_indices=True)
+    t_pops = state.t_pops.at[tg, tp].set(
+        pops, mode="drop", unique_indices=True
+    )
 
-    safe_groups = jnp.where(ok, groups, 0)
+    # Routing centroids: one writer per distinct touched group (g_ls is
+    # already updated above)
+    groups_s = jnp.where(ok_sorted, groups[gorder], 0)
     g_cents = majority_centroid_from_sums(
-        state.g_ls[safe_groups], jnp.maximum(state.g_n[safe_groups], 1)
+        state.g_ls[groups_s], jnp.maximum(state.g_n[groups_s], 1)
     ).astype(jnp.bfloat16)
-    g_cent = state.g_cent.at[tg].set(g_cents, mode="drop")
-    g_pops = state.g_pops.at[tg].set(
-        jnp.sum(g_cents.astype(jnp.int32), -1), mode="drop"
+    g_cent = state.g_cent.at[g_idx].set(
+        g_cents, mode="drop", unique_indices=True
+    )
+    g_pops = state.g_pops.at[g_idx].set(
+        jnp.sum(g_cents.astype(jnp.int32), -1),
+        mode="drop",
+        unique_indices=True,
     )
     return state._replace(
         t_pk=t_pk, t_pops=t_pops, g_cent=g_cent, g_pops=g_pops
@@ -724,9 +859,10 @@ def _split_groups_device_impl(
 
     # Group CFs of the two halves
     w_moved = (to_new & occupied).astype(jnp.int32)
-    cluster_ls = state.ls[jnp.maximum(t_slot, 0).reshape(-1)].reshape(
-        k, tile, -1
-    )
+    n_features = state.g_ls.shape[1]
+    cluster_ls = _cluster_ls_of(
+        state, jnp.maximum(t_slot, 0).reshape(-1), n_features
+    ).reshape(k, tile, -1)
     cluster_n = state.n[jnp.maximum(t_slot, 0).reshape(-1)].reshape(k, tile)
     moved_ls = jnp.sum(cluster_ls * w_moved[:, :, None], axis=1)
     moved_n = jnp.sum(cluster_n * w_moved, axis=1)
@@ -766,6 +902,16 @@ def _split_groups_device_impl(
 def _max_group_count(state: BatchState) -> Array:
     r"""Scalar pre-check for the split pass (one cheap device->host pull)."""
     return jnp.max(state.g_count)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_features"))
+def _reconstruct_ls_chunk(
+    state: BatchState, start: Array | int, chunk: int, n_features: int
+) -> Array:
+    r"""Dense linear sums of cluster slots [start, start+chunk)."""
+    slots = start + lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+    slots = jnp.minimum(slots, state.n.shape[0] - 1)
+    return _cluster_ls_of(state, slots, n_features)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_features"))
@@ -830,6 +976,8 @@ class BatchTree:
         fanout: int = 192,
         tile: int = 256,
         initial_capacity: int = 8192,
+        ls_capacity: int | None = None,
+        g_capacity: int | None = None,
         route_block: int = 1024,
         max_rounds: int = 24,
         use_pallas_search: bool = False,
@@ -852,26 +1000,40 @@ class BatchTree:
         self.capacity = _next_pow2(
             max(initial_capacity, 2 * batch_size + 1)
         )
+        # Sparse linear-sum pool: only multi-member clusters hold a row.
+        # The default sizes it at 1/4 of the cluster capacity (singleton-
+        # heavy regimes use far less); it grows on demand like the others.
+        self.ls_capacity = _next_pow2(
+            ls_capacity
+            if ls_capacity is not None
+            else max(self.capacity // 4, 2 * batch_size + 1)
+        )
         # Enough group headroom that a full batch of in-step creations never
-        # forces a mid-run recompile (growth re-specializes the step)
+        # forces a mid-run recompile (growth re-specializes the step).
+        # Override for very large capacities: the heuristic over-allocates
+        # tile memory there (true need is ~capacity/fanout * 1.3)
         self.g_capacity = _next_pow2(
-            max(
+            g_capacity
+            if g_capacity is not None
+            else max(
                 256,
                 self.capacity // max(fanout // 2, 1),
                 2 * batch_size + 2,
             )
         )
         self.state = _init_state(
-            self.capacity, self.g_capacity, tile, n_features
+            self.capacity, self.g_capacity, tile, n_features,
+            self.ls_capacity,
         )
         # Host-side upper bounds on the device counters (see _ensure_capacity)
         self._num_upper = 0
         self._g_upper = 1
+        self._ls_upper = 0
         # Check for oversized groups every `split_interval` batches (each
         # check is a device round-trip); overflow chunking keeps un-split
         # groups correct in between
         self.split_interval = 4
-        self.split_k = 32  # oversized groups split per device dispatch
+        self.split_k = 64  # oversized groups split per device dispatch
         self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
@@ -899,16 +1061,27 @@ class BatchTree:
             self._num_upper = int(self.state.num)  # sync the true count
         if self._g_upper + incoming + 1 > self.g_capacity:
             self._g_upper = int(self.state.g_num)
+        if self._ls_upper + incoming + 1 > self.ls_capacity:
+            self._ls_upper = int(self.state.num_ls)
         need_c = self._num_upper + incoming + 1
         need_g = self._g_upper + incoming + 1
+        need_p = self._ls_upper + incoming + 1
         new_c, new_g = self.capacity, self.g_capacity
+        new_p = self.ls_capacity
         while new_c < need_c:
             new_c *= 2
         while new_g < need_g:
             new_g *= 2
-        if (new_c, new_g) != (self.capacity, self.g_capacity):
-            self.state = jax.device_put(_grow_state(self.state, new_c, new_g))
+        while new_p < need_p:
+            new_p *= 2
+        if (new_c, new_g, new_p) != (
+            self.capacity, self.g_capacity, self.ls_capacity
+        ):
+            self.state = jax.device_put(
+                _grow_state(self.state, new_c, new_g, new_p)
+            )
             self.capacity, self.g_capacity = new_c, new_g
+            self.ls_capacity = new_p
 
     # -- insertion -----------------------------------------------------------
 
@@ -1022,6 +1195,7 @@ class BatchTree:
         )
         n_valid = int(host_valid.sum())
         self._num_upper += n_valid
+        self._ls_upper += n_valid  # promotions + pooled creations <= rows
         # Creations open at most ceil(n/tile) densely-packed chunk groups per
         # routed group; in-step clamping pends anything beyond capacity, so
         # this loose bound is safe
@@ -1036,6 +1210,11 @@ class BatchTree:
                 "enc": enc,
             }
         )
+        # One sync-free top-K split pass per batch: saturated groups
+        # (count >= tile) otherwise shed a near-empty overflow chunk group
+        # every batch, fragmenting tile occupancy (measured 17% at 1M
+        # fps @ t=0.65 with splits every 4th batch)
+        self._split_oversized_groups()
         if len(self._boundary_queue) >= self.split_interval:
             self.flush()
 
@@ -1074,6 +1253,7 @@ class BatchTree:
             )
             self._num_upper += int(missing.sum())
             self._g_upper += int(missing.sum())
+            self._ls_upper += int(missing.sum())
             assigned_np = np.asarray(assigned)
             final_assigned[missing] = assigned_np[missing]
         else:
@@ -1121,10 +1301,12 @@ class BatchTree:
         if tolerance is not None:
             self.tolerance = tolerance
         self.state = _init_state(
-            self.capacity, self.g_capacity, self.tile, self.n_features
+            self.capacity, self.g_capacity, self.tile, self.n_features,
+            self.ls_capacity,
         )
         self._num_upper = 0
         self._g_upper = 1
+        self._ls_upper = 0
         self._boundary_queue = []
         self._row_slots = []
         self._row_mols = []
@@ -1242,8 +1424,19 @@ class BatchTree:
         return np.asarray(self.state.n)[: self.num_clusters]
 
     def linear_sums(self) -> np.ndarray:
+        r"""Dense (C, F) int32 linear sums, reconstructed from the sparse
+        pool + singleton tile bits in device chunks."""
         self.flush()
-        return np.asarray(self.state.ls)[: self.num_clusters]
+        ncl = self.num_clusters
+        out = np.empty((ncl, self.n_features), np.int32)
+        chunk = 1 << 15
+        for start in range(0, ncl, chunk):
+            size = min(chunk, ncl - start)
+            rows = _reconstruct_ls_chunk(
+                self.state, start, chunk, self.n_features
+            )
+            out[start : start + size] = np.asarray(rows)[:size]
+        return out
 
     def _materialize_slots(self) -> None:
         r"""Pull any deferred device-side assignment vectors in one batch."""

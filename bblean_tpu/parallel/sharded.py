@@ -37,7 +37,12 @@ import numpy as np
 from jax import Array, lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bblean_tpu.engine.batch import BatchState, _batch_step_impl, _init_state
+from bblean_tpu.engine.batch import (
+    BatchState,
+    _batch_step_impl,
+    _cluster_ls_of,
+    _init_state,
+)
 from bblean_tpu.ops.isim import majority_centroid_from_sums
 from bblean_tpu.ops.packing import (
     pack_fingerprints_device,
@@ -146,7 +151,15 @@ def _rebuild_tables(
     assigned = (
         jnp.zeros((n_rows,), jnp.int32).at[order].set(assigned_sorted[:n_rows])
     )
-    return state.ls, state.n, assigned
+    return _dense_ls(state, f), state.n, assigned
+
+
+def _dense_ls(state: BatchState, n_features: int) -> Array:
+    r"""Dense (cap, F) linear sums from the sparse pool + singleton bits."""
+    cap = state.n.shape[0]
+    return _cluster_ls_of(
+        state, jnp.arange(cap, dtype=jnp.int32), n_features
+    )
 
 
 def sharded_fit(
@@ -228,7 +241,7 @@ def sharded_fit(
             state, batches, valid, threshold_, tolerance_, merge_criterion,
             block, max_rounds, f,
         )
-        return local_assigned[None], state.ls[None], state.n[None]
+        return local_assigned[None], _dense_ls(state, f)[None], state.n[None]
 
     sharding = NamedSharding(mesh, P(axis_name))
     local_pk = jax.device_put(padded, sharding)

@@ -126,10 +126,18 @@ def tsne_plot(
     output: Path | str | None = None,
     perplexity: float = 30.0,
     pca_reduce: int | None = 50,
+    exaggeration: float | None = None,
+    do_pca_init: bool = True,
+    multiscale: bool = False,
+    dof: float = 1.0,
 ) -> tp.Any:
     r"""2-D t-SNE embedding of the top clusters' fingerprints.
 
-    Uses openTSNE when available (reference default), else scikit-learn.
+    Prefers openTSNE when installed (bit-compatible with the reference's
+    FFT path, ``bblean/plotting.py:297-394``); otherwise runs the
+    accelerator-native JAX t-SNE (``bblean_tpu.ops.tsne``), which supports
+    the same surface: PCA init, multiscale affinities, second-phase
+    exaggeration, and the ``dof`` knob.
     """
     fps = analysis.top_unpacked_fps.astype(np.float32)
     if pca_reduce is not None and fps.shape[1] > pca_reduce:
@@ -141,18 +149,43 @@ def tsne_plot(
     perplexity = min(perplexity, max((len(fps) - 1) / 3, 2))
     try:  # pragma: no cover - depends on environment
         from openTSNE import TSNE as OpenTSNE
+        from openTSNE.affinity import Multiscale
 
-        emb = np.asarray(
-            OpenTSNE(
-                n_components=2, perplexity=perplexity, random_state=TSNE_SEED
-            ).fit(fps)
+        tsne = OpenTSNE(
+            n_components=2,
+            perplexity=perplexity,
+            random_state=TSNE_SEED,
+            dof=dof,
+            exaggeration=exaggeration,
+            negative_gradient_method="fft",
+            initialization="pca" if do_pca_init else "random",
         )
+        if multiscale:
+            emb = np.asarray(
+                super(OpenTSNE, tsne).fit(
+                    fps,
+                    affinities=Multiscale(
+                        data=fps,
+                        perplexities=[perplexity, len(fps) / 100],
+                        random_state=TSNE_SEED,
+                    ),
+                    initialization="pca" if do_pca_init else "random",
+                )
+            )
+        else:
+            emb = np.asarray(tsne.fit(fps))
     except ImportError:
-        from sklearn.manifold import TSNE
+        from bblean_tpu.ops.tsne import tsne_embed
 
-        emb = TSNE(
-            n_components=2, perplexity=perplexity, random_state=TSNE_SEED
-        ).fit_transform(fps)
+        emb = tsne_embed(
+            fps,
+            perplexity=perplexity,
+            exaggeration=exaggeration,
+            seed=TSNE_SEED,
+            do_pca_init=do_pca_init,
+            multiscale=multiscale,
+            dof=dof,
+        )
     return _embed_and_scatter(
         emb, analysis.sizes, "t-SNE of top clusters", output
     )
