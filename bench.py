@@ -1,14 +1,14 @@
 r"""Headline benchmark: fingerprints clustered per second on TPU.
 
-Config mirrors the reference's speed-regression setting (seeded synthetic
-2048-bit fingerprints, diameter merge — reference caps its own C++ path at
-10k fps in < 0.9 s on CI, i.e. ~11.1k fps/s single-core; see BASELINE.md).
+Primary metric: **1M x 2048-bit synthetic fingerprints at threshold 0.30**
+(the reference CLI's default threshold — the merge-heavy regime) through the
+depth-2 batched TPU engine, end to end after a compile warm-up.  The same
+JSON line also reports the t=0.65 (singleton-heavy) regime.
 
-Runs the depth-2 batched TPU engine end-to-end (upload packed fps once, then
-level-synchronous batch insertion with host-side topology control), timing
-everything after a small warm-up that triggers compilation.
+Baseline anchor: the reference's own speed-regression cap for its C++ path —
+10k fps in < 0.9 s on CI, i.e. ~11.1k fps/s single-core (see BASELINE.md).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -21,10 +21,39 @@ import numpy as np
 # Reference anchor: 10k fps / 0.9 s (C++ ext, single core) — BASELINE.md
 BASELINE_FPS_PER_S = 10_000 / 0.9
 
-N_FPS = 500_000
+N_FPS = 1_000_000
 N_FEATURES = 2048
-THRESHOLD = 0.65
 SEED = 12620509540149709235
+
+
+def _timed_fit(dev_fps, threshold: float, capacity: int, ls_capacity: int):
+    from bblean_tpu.engine.batch import BatchTree
+
+    import jax
+
+    def build():
+        return BatchTree(
+            N_FEATURES,
+            threshold=threshold,
+            batch_size=8192,
+            initial_capacity=capacity,
+            ls_capacity=ls_capacity,
+        )
+
+    # Warm-up on a prefix: compiles every program at the final table shapes
+    warm = build()
+    warm.fit_packed(dev_fps[: 1 << 16], range(1 << 16))
+    jax.block_until_ready(warm.state.n)
+    del warm
+
+    tree = build()
+    t0 = time.perf_counter()
+    tree.fit_packed(dev_fps, range(N_FPS))
+    num = tree.num_clusters  # device sync
+    dt = time.perf_counter() - t0
+    rate = N_FPS / dt
+    del tree
+    return rate, dt, num
 
 
 def main() -> None:
@@ -33,58 +62,41 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from bblean_tpu.engine.batch import BatchTree
     from bblean_tpu.fingerprints import make_fake_fingerprints
-
-    import jax.numpy as jnp
 
     fps = make_fake_fingerprints(N_FPS, n_features=N_FEATURES, seed=SEED)
     # Stage the packed fps in HBM up-front (the reference's speed-regression
     # benchmark likewise times fit() with fps already resident in RAM); the
     # timed region below is pure clustering work
-    dev_fps = jax.device_put(jnp.asarray(fps))
+    dev_fps = jax.device_put(fps)
     jax.block_until_ready(dev_fps)
 
-    batch_size = 8192
-    # Warm-up: one full fit compiles every program and settles the device
-    # memory arena (the reference's speed-regression methodology likewise
-    # times repeat in-process runs, reference tests/test_regression.py)
-    warm = BatchTree(
-        N_FEATURES,
-        threshold=THRESHOLD,
-        batch_size=batch_size,
-        initial_capacity=1 << 20,
+    # Primary: the reference's default threshold (merge-heavy regime).
+    # Capacities sized so no mid-run growth recompiles occur.
+    rate03, dt03, num03 = _timed_fit(
+        dev_fps, threshold=0.30, capacity=1 << 19, ls_capacity=1 << 18
     )
-    warm.split_interval = 8
-    warm.fit_packed(dev_fps, range(N_FPS))
-    del warm
-
-    tree = BatchTree(
-        N_FEATURES,
-        threshold=THRESHOLD,
-        batch_size=batch_size,
-        initial_capacity=1 << 20,  # ~N singletons at threshold 0.65: no growth
+    # Secondary: the singleton-heavy regime (sparse pool: ~1M clusters)
+    rate65, dt65, num65 = _timed_fit(
+        dev_fps, threshold=0.65, capacity=1 << 20, ls_capacity=1 << 16
     )
-    tree.split_interval = 8
-    t0 = time.perf_counter()
-    tree.fit_packed(dev_fps, range(N_FPS))
-    num = tree.num_clusters  # device sync
-    dt = time.perf_counter() - t0
 
-    value = N_FPS / dt
     print(
         json.dumps(
             {
                 "metric": (
                     f"fps_clustered_per_sec_{N_FPS // 1000}k_x{N_FEATURES}bit"
-                    f"_diameter_t{THRESHOLD}"
+                    "_diameter_t0.3"
                 ),
-                "value": round(value, 1),
+                "value": round(rate03, 1),
                 "unit": "fingerprints/s",
-                "vs_baseline": round(value / BASELINE_FPS_PER_S, 2),
-                "wall_s": round(dt, 2),
-                "n_clusters": int(num),
-                "n_groups": tree.num_groups,
+                "vs_baseline": round(rate03 / BASELINE_FPS_PER_S, 2),
+                "wall_s": round(dt03, 2),
+                "n_clusters": int(num03),
+                "t0.65_fps_per_s": round(rate65, 1),
+                "t0.65_vs_baseline": round(rate65 / BASELINE_FPS_PER_S, 2),
+                "t0.65_wall_s": round(dt65, 2),
+                "t0.65_n_clusters": int(num65),
             }
         )
     )
