@@ -116,8 +116,13 @@ def test_batch_engine_insert_throughput_floor() -> None:
         return tree
 
     run(fps[:4096])  # warm-up compile
-    start = time.perf_counter()
-    run(fps)
-    elapsed = time.perf_counter() - start
+    # Best of 2 wall-clock runs: a single run is vulnerable to transient
+    # host load (process time would be worse — XLA-CPU is multi-threaded,
+    # so it sums every worker thread)
+    elapsed = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        run(fps)
+        elapsed = min(elapsed, time.perf_counter() - start)
     rate = len(fps) / elapsed
     assert rate > 700, f"batch engine: {rate:.0f} rows/s (floor 700)"
