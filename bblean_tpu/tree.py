@@ -773,10 +773,10 @@ class BitBirch:
         **method_kwargs: tp.Any,
     ) -> NDArray[np.int64]:
         r""":meta private:"""
-        if method not in {"agglomerative", "kmeans", "kmeans-normalized"}:
+        if method not in {
+            "agglomerative", "kmeans", "kmeans-normalized", "kmeans-tpu"
+        }:
             raise ValueError(f"Unknown method {method}")
-        from sklearn.cluster import AgglomerativeClustering, KMeans
-        from sklearn.exceptions import ConvergenceWarning
 
         if input_is_packed:
             centrals = unpack_fingerprints(centrals, n_features)
@@ -785,10 +785,19 @@ class BitBirch:
             warnings.warn(
                 f"Number of subclusters found ({num_centrals}) by BitBIRCH is"
                 f" less than ({n_clusters}). Decrease k or the threshold.",
-                ConvergenceWarning,
+                UserWarning,
                 stacklevel=2,
             )
             n_clusters = num_centrals
+        if method == "kmeans-tpu":
+            # Device k-means (MXU Lloyd iterations); no sklearn needed
+            from bblean_tpu.ops.kmeans import kmeans_fit_predict
+
+            return kmeans_fit_predict(
+                centrals.astype(np.float32), n_clusters, **method_kwargs
+            ) + 1
+        from sklearn.cluster import AgglomerativeClustering, KMeans
+
         if method == "kmeans-normalized":
             centrals = centrals / np.linalg.norm(centrals, axis=1, keepdims=True)
         if method in ("kmeans", "kmeans-normalized"):

@@ -170,3 +170,31 @@ def test_isim_precision_at_scale() -> None:
                 )[0]
             )
             assert abs(dev - host) <= 1e-6 * abs(host), (n, density)
+
+
+def test_kmeans_device() -> None:
+    r"""Device k-means recovers well-separated blobs and beats a random
+    labeling on inertia (TPU analogue of sklearn global clustering)."""
+    import numpy as np
+
+    from bblean_tpu.ops.kmeans import kmeans_fit_predict
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(4, 64)) * 10.0
+    pts = np.concatenate(
+        [c + rng.normal(size=(50, 64)) for c in centers]
+    ).astype(np.float32)
+    labels = kmeans_fit_predict(pts, 4, seed=1)
+    assert labels.shape == (200,)
+    assert set(labels) == {0, 1, 2, 3}
+    # Each true blob maps to exactly one predicted cluster
+    for b in range(4):
+        blob = labels[b * 50 : (b + 1) * 50]
+        assert len(set(blob.tolist())) == 1
+    # Deterministic under the same seed
+    assert (kmeans_fit_predict(pts, 4, seed=1) == labels).all()
+    with pytest.raises(ValueError):
+        kmeans_fit_predict(pts, 0)
+    with pytest.raises(ValueError):
+        kmeans_fit_predict(pts, 201)
+    assert (kmeans_fit_predict(pts, 1) == 0).all()
