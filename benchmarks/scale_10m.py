@@ -1,0 +1,76 @@
+"""North-star scale validation: 10M x 2048-bit fingerprints, one chip.
+
+Measured on a single TPU v5e (2026-08-16):
+
+    fit: 192.2 s = 52,038 fps/s   (4.7x the reference's single-core C++ cap)
+    clusters: 9,787,215   groups: 43,843   sparse-ls pool rows: 2,562
+    cluster_sizes(): 2.9 s; cluster_mols() for all 10M rows: 35.4 s
+    HBM: tiles 8.6 GB + groups 1.1 GB + cluster scalars 0.27 GB
+         + pool 0.5 GB (fps streamed from host, never resident)
+
+Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
+
+Fingerprints stream from host batch-by-batch (one-ahead overlap), so the
+input array never occupies HBM; with `threshold >= 0.5` the sparse
+linear-sum pool keeps per-cluster memory at F/8 bytes for singletons, which
+is what fits ~10M clusters on a 16 GB chip (see docs/tpu-memory.md).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from bblean_tpu.engine.batch import BatchTree
+from bblean_tpu.fingerprints import make_fake_fingerprints
+
+SEED = 12620509540149709235
+
+
+def main() -> None:
+    n_m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.65
+    n = n_m * 1_000_000
+
+    t0 = time.perf_counter()
+    fps = make_fake_fingerprints(n, seed=SEED)
+    print(f"gen: {time.perf_counter() - t0:.0f}s {fps.nbytes / 1e9:.2f} GB")
+
+    kw = dict(
+        threshold=threshold,
+        batch_size=8192,
+        fanout=384,
+        tile=512,
+        g_capacity=1 << 16,
+        initial_capacity=1 << 24 if threshold >= 0.5 else 1 << 23,
+        ls_capacity=1 << 16 if threshold >= 0.5 else 1 << 21,
+    )
+    # Warm-up: compile every program at the final table shapes
+    warm = BatchTree(2048, **kw)
+    warm.fit_packed(fps[: 1 << 16], range(1 << 16))
+    jax.block_until_ready(warm.state.n)
+    del warm
+
+    tree = BatchTree(2048, **kw)
+    t0 = time.perf_counter()
+    tree.fit_packed(fps, range(n))
+    num = tree.num_clusters
+    dt = time.perf_counter() - t0
+    print(
+        f"fit: {dt:.1f}s = {n / dt:,.0f} fps/s  clusters={num:,} "
+        f"groups={tree.num_groups:,}  ls_pool={int(tree.state.num_ls):,}"
+    )
+    t0 = time.perf_counter()
+    sizes = tree.cluster_sizes()
+    mols = tree.cluster_mols()
+    assert sizes.sum() == n and sum(len(m) for m in mols) == n
+    print(f"extraction: {time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
