@@ -323,11 +323,13 @@ def _batch_step_impl(
 
         # ---- 2. in-group candidate search (VPU over packed tiles) ----
         if use_pallas:
-            from bblean_tpu.ops.pallas_search import tile_search_pallas
+            from bblean_tpu.ops.pallas_search2 import tile_search_sorted
 
-            best_sim, best = tile_search_pallas(
+            # The last group slot is the scatter guard and never holds live
+            # tile entries, so it doubles as the kernel's guard tile
+            best_sim, best = tile_search_sorted(
                 row_pk, row_pop, row_group, state.t_pk, state.t_pops,
-                state.t_slot, pending,
+                state.t_slot, pending, guard_group=guard_g,
             )
         else:
             best_sim, best = _search_tiles(
@@ -994,8 +996,10 @@ class BatchTree:
         self.tile = tile
         self.route_block = route_block
         self.max_rounds = max_rounds
-        # The fused Pallas search is bit-identical but currently slower than
-        # the XLA gather path on v5e (see ops/pallas_search.py); opt-in
+        # The sorted multi-row Pallas search (ops/pallas_search2.py) is
+        # bit-identical and 3.6-15x faster than the XLA gather as a
+        # standalone dispatch, but inside the fused step XLA's gather is
+        # already ~2 ms and the kernel's extra argsort loses ~5%; opt-in
         self.use_pallas_search = use_pallas_search
         self.capacity = _next_pow2(
             max(initial_capacity, 2 * batch_size + 1)

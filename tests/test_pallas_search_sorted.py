@@ -1,0 +1,116 @@
+r"""Sorted multi-row Pallas search vs the XLA gather path.
+
+Contract (same as ``engine.batch._search_tiles``): identical best similarity
+for every row; identical best slot wherever a candidate exists
+(``best_sim > -2``).  Where no candidate exists the slot is dead output —
+the engine gates on ``best_sim > -1.5`` before using it.
+
+Runs in interpreter mode so the kernel logic is exercised on any backend;
+``make test-tpu`` compiles it for the real chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bblean_tpu.engine.batch import _search_tiles
+from bblean_tpu.ops.pallas_search2 import tile_search_sorted
+
+# Small shapes below violate the compiled path's lane-alignment rule, so
+# they always run interpreted; a separate aligned test compiles on TPU.
+_INTERPRET = True
+
+
+def _mk(rng, m, g, fc, f8, concentration):
+    t_pk = rng.integers(0, 256, (g, fc, f8), dtype=np.uint8)
+    occ = rng.random((g, fc)) < 0.7
+    t_slot = np.where(occ, rng.integers(0, 10_000, (g, fc)), -1).astype(
+        np.int32
+    )
+    t_pk[~occ] = 0
+    t_pops = (
+        np.unpackbits(t_pk.reshape(g * fc, f8), axis=1)
+        .sum(1)
+        .astype(np.int32)
+        .reshape(g, fc)
+    )
+    row_pk = rng.integers(0, 256, (m, f8), dtype=np.uint8)
+    row_pop = np.unpackbits(row_pk, axis=1).sum(1).astype(np.int32)
+    if concentration == "one":
+        row_group = np.zeros(m, np.int32)
+    elif concentration == "spread":
+        row_group = rng.integers(0, g, m).astype(np.int32)
+    else:
+        row_group = np.sort(rng.integers(0, 3, m)).astype(np.int32)
+    pending = rng.random(m) < 0.8
+    return (
+        jnp.asarray(row_pk),
+        jnp.asarray(row_pop),
+        jnp.asarray(row_group),
+        jnp.asarray(t_pk),
+        jnp.asarray(t_pops),
+        jnp.asarray(t_slot),
+        jnp.asarray(pending),
+    )
+
+
+@pytest.mark.parametrize(
+    "m,g,fc,f8,concentration",
+    [
+        (64, 8, 16, 32, "one"),  # merge-heavy: every row one group
+        (64, 8, 16, 32, "few"),
+        (64, 8, 16, 32, "spread"),  # singleton-heavy: 1-2 rows per group
+        (128, 32, 8, 8, "spread"),
+        (256, 4, 32, 32, "few"),
+    ],
+)
+def test_sorted_search_matches_xla(m, g, fc, f8, concentration) -> None:
+    rng = np.random.default_rng(m + g + fc)
+    args = _mk(rng, m, g, fc, f8, concentration)
+    ref_sim, ref_slot = jax.block_until_ready(_search_tiles(*args))
+    got_sim, got_slot = jax.block_until_ready(
+        tile_search_sorted(*args, interpret=_INTERPRET)
+    )
+    ref_sim = np.asarray(ref_sim)
+    np.testing.assert_array_equal(ref_sim, np.asarray(got_sim))
+    has_cand = ref_sim > -1.5
+    np.testing.assert_array_equal(
+        np.asarray(ref_slot)[has_cand], np.asarray(got_slot)[has_cand]
+    )
+
+
+def test_sorted_search_all_empty_tiles() -> None:
+    r"""Empty tiles everywhere -> sim -2, slot clamped to 0."""
+    m, g, fc, f8 = 32, 4, 8, 16
+    rng = np.random.default_rng(0)
+    args = list(_mk(rng, m, g, fc, f8, "spread"))
+    args[5] = jnp.full((g, fc), -1, jnp.int32)  # no live slots
+    got_sim, got_slot = tile_search_sorted(*args, interpret=_INTERPRET)
+    assert (np.asarray(got_sim) == -2.0).all()
+    assert (np.asarray(got_slot) == 0).all()
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled Mosaic path needs a TPU"
+)
+def test_sorted_search_compiled_on_tpu() -> None:
+    r"""Aligned production-like shapes, compiled for the real chip."""
+    rng = np.random.default_rng(7)
+    args = _mk(rng, 512, 16, 128, 256, "spread")
+    ref_sim, ref_slot = jax.block_until_ready(_search_tiles(*args))
+    got_sim, got_slot = jax.block_until_ready(tile_search_sorted(*args))
+    ref_sim = np.asarray(ref_sim)
+    np.testing.assert_array_equal(ref_sim, np.asarray(got_sim))
+    has_cand = ref_sim > -1.5
+    np.testing.assert_array_equal(
+        np.asarray(ref_slot)[has_cand], np.asarray(got_slot)[has_cand]
+    )
+
+
+def test_sorted_search_rejects_misaligned_compiled() -> None:
+    rng = np.random.default_rng(3)
+    args = _mk(rng, 64, 8, 16, 32, "few")
+    with pytest.raises(ValueError, match="Fc % 128"):
+        tile_search_sorted(*args, interpret=False)
