@@ -279,6 +279,349 @@ def _segment_rank(grp: Array, mask_sorted: Array) -> Array:
     return csum - inc - seg_start_csum[grp]
 
 
+def _insert_round(
+    state: BatchState,
+    pending: Array,
+    assigned: Array,
+    strikes: Array,
+    row_ls: Array,
+    row_n: Array,
+    row_cent: Array,
+    row_pk: Array,
+    row_pop: Array,
+    threshold: Array,
+    tolerance: Array,
+    *,
+    criterion: str,
+    block: int,
+    use_pallas: bool,
+) -> tuple[BatchState, Array, Array, Array]:
+    r"""One insertion round over a row window of any width.
+
+    Every computation is masked by ``pending`` and depends on rows only
+    through their RELATIVE order, so running a round over a compacted
+    subset of the rows commits exactly what the full-width round would —
+    this is what makes the narrow retry rounds label-preserving.
+    """
+    m, n_features = row_ls.shape
+    tile = state.t_pk.shape[1]
+    big = jnp.int32(1 << 30)
+    row_idx = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    guard_g = state.g_ls.shape[0] - 1
+    force_lead = strikes >= 2
+
+    # ---- 1. route rows to groups (MXU) ----
+    row_group = _route_groups(
+        row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
+        pending, block,
+    )
+
+    # ---- 2. in-group candidate search (VPU over packed tiles) ----
+    if use_pallas:
+        from bblean_tpu.ops.pallas_search2 import tile_search_sorted
+
+        # The last group slot is the scatter guard and never holds live
+        # tile entries, so it doubles as the kernel's guard tile
+        best_sim, best = tile_search_sorted(
+            row_pk, row_pop, row_group, state.t_pk, state.t_pops,
+            state.t_slot, pending, guard_group=guard_g,
+        )
+    else:
+        best_sim, best = _search_tiles(
+            row_pk, row_pop, row_group, state.t_pk, state.t_pops,
+            state.t_slot, pending,
+        )
+    has_cand = best_sim > -1.5
+
+    # ---- 3. individual merge evaluation ----
+    cand_ls = _cluster_ls_of(state, best, n_features)
+    cand_n = state.n[best]
+    cand_ref = state.ls_ref[best]
+    accept = merge_accept_batch(
+        criterion, threshold, cand_ls + row_ls, cand_n + row_n, cand_ls,
+        cand_n, row_n, tolerance=tolerance,
+    )
+    # Rows that repeatedly pass the individual screen but lose the
+    # commit prefix (marginal fits to a hot cluster) are demoted to the
+    # rejected path: serial would have scattered them too, and without
+    # the demotion they can spin for all rounds at low thresholds
+    accept = accept & pending & has_cand & (strikes < 2)
+
+    # ---- conflict resolution: serial prefix commits per candidate ----
+    # Rows accepted toward the same cluster are ordered by row index and
+    # committed as the longest prefix for which EVERY cumulative merge
+    # still satisfies the criterion — exactly the serial outcome for a
+    # same-cluster insertion queue, resolved in one round (winner-only
+    # fallbacks drain a queue of Q rows in Q rounds)
+    akey = jnp.where(accept, best, big)
+    aorder, agrp, astart = _group_ids_by_key(akey)
+    a_ok = accept[aorder]
+    s_ls = jnp.where(a_ok[:, None], row_ls[aorder], 0)
+    s_n = jnp.where(a_ok, row_n[aorder], 0)
+    iota_m = row_idx  # 0..m-1
+    # Per-row index of its segment's first sorted position
+    seg_start = lax.cummax(jnp.where(astart, iota_m, 0))
+    # Inclusive cumulative sums within each segment
+    cum_ls = jnp.cumsum(s_ls, axis=0)
+    cum_n = jnp.cumsum(s_n)
+    excl_ls = cum_ls - s_ls
+    excl_n = cum_n - s_n
+    base_ls = excl_ls[seg_start]
+    base_n = excl_n[seg_start]
+    pre_ls = excl_ls - base_ls  # sum of earlier rows in the segment
+    pre_n = excl_n - base_n
+    cand_ls_s = cand_ls[aorder]
+    cand_n_s = cand_n[aorder]
+    new_ls_s = cand_ls_s + pre_ls + s_ls
+    new_n_s = cand_n_s + pre_n + s_n
+    acc_pref = (
+        merge_accept_batch(
+            criterion, threshold, new_ls_s, new_n_s,
+            cand_ls_s + pre_ls, cand_n_s + pre_n, s_n,
+            tolerance=tolerance,
+        )
+        & a_ok
+    )
+    # Longest all-accepted prefix: cumulative count equals local rank + 1
+    acc_cum = jnp.cumsum(acc_pref.astype(jnp.int32))
+    acc_base = (acc_cum - acc_pref.astype(jnp.int32))[seg_start]
+    rank = iota_m - seg_start
+    committed_sorted = acc_pref & (
+        acc_cum - acc_base == rank + 1
+    )
+    merge_commit = jnp.zeros((m,), bool).at[aorder].set(committed_sorted)
+
+    # ---- 4. leader election among rejected rows (per routed group) ----
+    rejected = pending & ~accept
+    if criterion == "never-merge":
+        leader = rejected
+        join = jnp.zeros((m,), bool)
+        lead_of = row_idx
+    else:
+        rcent = jnp.where(rejected[:, None], row_cent, 0)
+        rsims = lax.dot_general(
+            rcent, rcent, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rpop = jnp.where(rejected, row_pop, 0)
+        runion = rpop[:, None] + rpop[None, :] - rsims
+        rsims = rsims / jnp.maximum(runion, 1.0)
+        same_group = row_group[:, None] == row_group[None, :]
+        lower = row_idx[None, :] < row_idx[:, None]  # [j, i]: i < j
+        sim_to_lower = jnp.where(
+            lower & rejected[None, :] & same_group, rsims, _NEG
+        )
+        # Rows whose join failed last round self-promote: otherwise a
+        # follower of a never-cohesive group can retry forever
+        leads = rejected & (
+            force_lead | ~jnp.any(sim_to_lower >= threshold, axis=1)
+        )
+        sim_to_leader = jnp.where(leads[None, :], sim_to_lower, _NEG)
+        lead_of = jnp.argmax(sim_to_leader, axis=1).astype(jnp.int32)
+        best_lead_sim = jnp.max(sim_to_leader, axis=1)
+        join = rejected & ~leads & (best_lead_sim >= threshold)
+        leader = leads
+        lead_of = jnp.where(leader, row_idx, lead_of)
+
+    # Cohesion check of each leader's would-be cluster (new clusters have
+    # no history, so every criterion reduces to its screen)
+    jkey = jnp.where(leader | join, lead_of, big)
+    jorder, jgrp, _jstart = _group_ids_by_key(jkey)
+    j_ok = (leader | join)[jorder]
+    j_ls = jnp.where(j_ok[:, None], row_ls[jorder], 0)
+    j_n = jnp.where(j_ok, row_n[jorder], 0)
+    gj_ls = jax.ops.segment_sum(j_ls, jgrp, num_segments=m)
+    gj_n = jax.ops.segment_sum(j_n, jgrp, num_segments=m)
+    gj_ok = merge_accept_batch(
+        criterion, threshold, gj_ls, jnp.maximum(gj_n, 2),
+        jnp.zeros_like(gj_ls), jnp.ones_like(gj_n), gj_n,
+        tolerance=tolerance,
+    ) | (gj_n <= 1)
+    join_ok = jnp.zeros((m,), bool).at[jorder].set(gj_ok[jgrp])
+    join_commit = join & join_ok
+    # Followers of a non-cohesive would-be cluster become creators in the
+    # SAME round (waiting a round to re-elect costs a full round of the
+    # while loop for no quality gain)
+    creator = leader | (join & ~join_ok)
+
+    # ---- 5. tile positions for new clusters (per-group, index order);
+    # creations into full tiles open a fresh overflow group so the step
+    # always makes progress (host splits rebalance later) ----
+    ckey = jnp.where(creator, row_group, big)
+    corder, cgrp, _cstart = _group_ids_by_key(ckey)
+    crank_sorted = _segment_rank(cgrp, creator[corder])
+    crank = jnp.zeros((m,), jnp.int32).at[corder].set(crank_sorted)
+    new_pos = state.g_count[row_group] + crank
+    # Creations beyond the tile open fresh groups, packed densely in
+    # chunks of `tile` per routed group (not one group per leader)
+    chunk = new_pos // tile  # 0 = fits the routed group's tile
+    chunk_sorted = jnp.where(creator[corder], chunk[corder], 0)
+    # segment_max fills EMPTY segments with int32-min: clamp to 0
+    seg_new = jnp.maximum(
+        jax.ops.segment_max(chunk_sorted, cgrp, num_segments=m), 0
+    )  # new groups needed per routed-group segment
+    seg_base = jnp.cumsum(seg_new) - seg_new
+    seg_of_row = jnp.zeros((m,), jnp.int32).at[corder].set(cgrp)
+    over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
+    fits = chunk == 0
+    # Rows whose overflow group would exceed capacity pend; the host
+    # grows the tables and retries (keeps capacity checks sync-free)
+    g_cap_arr = state.g_ls.shape[0]
+    fits_g = fits | (over_group < g_cap_arr - 1)
+    tgt_group = jnp.where(fits, row_group, over_group)
+    tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
+    create_commit = creator & fits_g
+    join_commit = join_commit & fits_g[lead_of]
+
+    lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
+    new_slot = state.num + lead_rank
+    slot_of_row = jnp.where(
+        merge_commit,
+        best,
+        jnp.where(
+            create_commit,
+            new_slot,
+            jnp.where(join_commit, new_slot[lead_of], -1),
+        ),
+    )
+    commit = merge_commit | create_commit | join_commit
+
+    # ---- 6. scatter-commit the flat cluster tables.  Masked rows use an
+    # out-of-bounds index + mode="drop": a shared in-bounds guard slot
+    # makes XLA serialize the duplicate updates (~60 ms per scatter at
+    # M=8192 measured on v5e vs ~1 ms dropped) ----
+    c_cap_arr = state.n.shape[0]
+    num = state.num + jnp.sum(create_commit.astype(jnp.int32))
+    g_num = jnp.minimum(
+        state.g_num + jnp.sum(seg_new), jnp.int32(g_cap_arr - 1)
+    )
+    new_slot_drop = jnp.where(create_commit, new_slot, c_cap_arr)
+    cg = state.group.at[new_slot_drop].set(
+        tgt_group, mode="drop", unique_indices=True
+    )
+    cpos = state.pos.at[new_slot_drop].set(
+        tgt_pos, mode="drop", unique_indices=True
+    )
+    g_count = state.g_count.at[
+        jnp.where(create_commit, tgt_group, g_cap_arr)
+    ].add(1, mode="drop")
+
+    # ---- 7. aggregates of joint creations + tile entries for CREATED
+    # clusters only.  Merged clusters keep a slightly stale tile centroid
+    # within this step; the post-loop refresh rebuilds every touched tile
+    # entry from the CF truth (recomputing gathered centroids every round
+    # cost ~10 ms/round) ----
+    gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
+        gj_ls[jgrp], unique_indices=True
+    )
+    gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(
+        gj_n[jgrp], unique_indices=True
+    )
+    created_ls = jnp.where(
+        (join_ok & fits)[:, None], gj_full_ls, row_ls
+    )
+    created_n = jnp.where(join_ok & fits, gj_full_n, row_n)
+    c_cent = majority_centroid_from_sums(
+        created_ls, jnp.maximum(created_n, 1)
+    )
+    c_packed = pack_fingerprints_device(c_cent)
+    ts_g = jnp.where(create_commit, tgt_group, g_cap_arr)
+    t_pk = state.t_pk.at[ts_g, tgt_pos].set(
+        c_packed, mode="drop", unique_indices=True
+    )
+    t_pops = state.t_pops.at[ts_g, tgt_pos].set(
+        jnp.sum(c_cent.astype(jnp.int32), axis=-1),
+        mode="drop",
+        unique_indices=True,
+    )
+    t_slot = state.t_slot.at[ts_g, tgt_pos].set(
+        new_slot, mode="drop", unique_indices=True
+    )
+
+    # ---- 8. sparse linear-sum pool bookkeeping.  Pool rows are
+    # allocated for (a) singletons receiving their first merge
+    # ("promotion": old bits + this round's committed rows) and (b)
+    # multi-member creations (leader + joiners aggregated).  Capacity is
+    # guaranteed by the host: promotions + pooled creations per batch
+    # never exceed the valid row count.  All merge updates are
+    # PRE-AGGREGATED per candidate segment (one writer row each) —
+    # per-row scatter-adds serialize whenever many rows hit the same
+    # hot cluster, which is the norm at low thresholds. ----
+    p_cap_arr = state.ls.shape[0]
+    cand_ref_s = cand_ref[aorder]
+    seg_add_ls = jax.ops.segment_sum(
+        jnp.where(committed_sorted[:, None], row_ls[aorder], 0),
+        agrp,
+        num_segments=m,
+    )[agrp]  # (M, F): each sorted row -> its segment's committed sum
+    seg_any = astart & committed_sorted  # one writer per segment
+    promo_sorted = seg_any & (cand_ref_s < 0)
+    adder_sorted = seg_any & (cand_ref_s >= 0)
+    pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
+    pool_created_n = jnp.where(join_ok, gj_full_n, row_n)
+    create_pool = create_commit & (pool_created_n >= 2)
+    n_promo = jnp.sum(promo_sorted.astype(jnp.int32))
+    ref_promo_sorted = (
+        state.num_ls + jnp.cumsum(promo_sorted.astype(jnp.int32)) - 1
+    )
+    ref_create = (
+        state.num_ls
+        + n_promo
+        + jnp.cumsum(create_pool.astype(jnp.int32))
+        - 1
+    )
+    num_ls = (
+        state.num_ls + n_promo + jnp.sum(create_pool.astype(jnp.int32))
+    )
+    pool = state.ls.at[
+        jnp.where(promo_sorted, ref_promo_sorted, p_cap_arr)
+    ].set(cand_ls_s + seg_add_ls, mode="drop", unique_indices=True)
+    pool = pool.at[
+        jnp.where(adder_sorted, cand_ref_s, p_cap_arr)
+    ].add(seg_add_ls, mode="drop", unique_indices=True)
+    pool = pool.at[jnp.where(create_pool, ref_create, p_cap_arr)].set(
+        pool_created_ls, mode="drop", unique_indices=True
+    )
+    best_s = best[aorder]
+    ls_ref = state.ls_ref.at[
+        jnp.where(promo_sorted, best_s, c_cap_arr)
+    ].set(ref_promo_sorted, mode="drop", unique_indices=True)
+    ls_ref = ls_ref.at[jnp.where(create_pool, new_slot, c_cap_arr)].set(
+        ref_create, mode="drop", unique_indices=True
+    )
+
+    # Cluster counts, pre-aggregated the same way: one writer per merge
+    # segment, creations carry their joiners' counts
+    seg_add_n = jax.ops.segment_sum(
+        jnp.where(committed_sorted, row_n[aorder], 0),
+        agrp,
+        num_segments=m,
+    )[agrp]
+    n = state.n.at[jnp.where(seg_any, best_s, c_cap_arr)].add(
+        seg_add_n, mode="drop", unique_indices=True
+    )
+    n = n.at[jnp.where(create_commit, new_slot, c_cap_arr)].add(
+        pool_created_n, mode="drop", unique_indices=True
+    )
+
+    # (group CFs g_ls/g_n are folded in ONCE per step by
+    # _refresh_touched — nothing inside the loop reads them)
+
+    assigned = jnp.where(commit, slot_of_row, assigned)
+    pending = pending & ~commit
+    struck = pending & (
+        (accept & ~merge_commit)
+        | (join & ~join_commit)
+        | (leader & ~create_commit)
+    )
+    strikes = jnp.where(pending, strikes + struck.astype(jnp.int32), 0)
+    new_state = BatchState(
+        pool, num_ls, ls_ref, n, cg, cpos, num, t_pk, t_pops, t_slot,
+        state.g_ls, state.g_n, state.g_cent, state.g_pops, g_count, g_num,
+    )
+    return new_state, pending, assigned, strikes
+
+
 def _batch_step_impl(
     state: BatchState,
     row_ls: Array,  # (M, F) int32
@@ -293,345 +636,83 @@ def _batch_step_impl(
     block: int,
     max_rounds: int,
     use_pallas: bool = False,
+    narrow: int = 0,
 ) -> tuple[BatchState, Array]:
     r"""Insert one batch of CF rows.
 
-    Returns (state, assigned slot per row, number of still-pending rows);
+    Returns (state, assigned slot per row, pending * 1000 + rounds);
     assigned == -1 marks rows the host must retry after splitting oversized
     groups.
+
+    Rounds run FULL-WIDTH while more than ``narrow`` rows are pending, then
+    switch to compacted retry rounds over the ``narrow`` lowest-index
+    pending rows (re-selected every round).  Tail rounds process a handful
+    of stragglers — at t=0.65 rounds 2-3 carry <2.5k of 8192 rows — so
+    shrinking them cuts the quadratic leader election 16x and every linear
+    term 4x at narrow = M/4.  Label-preserving: see ``_insert_round``.
+    ``narrow=0`` disables the narrow phase.
     """
-    m, n_features = row_ls.shape
-    tile = state.t_pk.shape[1]
-    big = jnp.int32(1 << 30)
-    row_idx = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
-    guard_c = state.n.shape[0] - 1  # scratch slot (never live; host keeps free)
-    guard_g = state.g_ls.shape[0] - 1
+    m, _n_features = row_ls.shape
+    kw = dict(criterion=criterion, block=block, use_pallas=use_pallas)
 
-    def cond(carry):
+    def wide_cond(carry):
         _state, pending, _assigned, _strikes, r = carry
-        return (r < max_rounds) & jnp.any(pending)
+        n_pend = jnp.sum(pending.astype(jnp.int32))
+        limit = jnp.int32(narrow if 0 < narrow < m else 0)
+        return (r < max_rounds) & (n_pend > limit)
 
-    def round_body(carry):
+    def wide_body(carry):
         state, pending, assigned, strikes, r = carry
-        force_lead = strikes >= 2
-
-        # ---- 1. route rows to groups (MXU) ----
-        row_group = _route_groups(
-            row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
-            pending, block,
+        state, pending, assigned, strikes = _insert_round(
+            state, pending, assigned, strikes,
+            row_ls, row_n, row_cent, row_pk, row_pop,
+            threshold, tolerance, **kw,
         )
-
-        # ---- 2. in-group candidate search (VPU over packed tiles) ----
-        if use_pallas:
-            from bblean_tpu.ops.pallas_search2 import tile_search_sorted
-
-            # The last group slot is the scatter guard and never holds live
-            # tile entries, so it doubles as the kernel's guard tile
-            best_sim, best = tile_search_sorted(
-                row_pk, row_pop, row_group, state.t_pk, state.t_pops,
-                state.t_slot, pending, guard_group=guard_g,
-            )
-        else:
-            best_sim, best = _search_tiles(
-                row_pk, row_pop, row_group, state.t_pk, state.t_pops,
-                state.t_slot, pending,
-            )
-        has_cand = best_sim > -1.5
-
-        # ---- 3. individual merge evaluation ----
-        cand_ls = _cluster_ls_of(state, best, n_features)
-        cand_n = state.n[best]
-        cand_ref = state.ls_ref[best]
-        accept = merge_accept_batch(
-            criterion, threshold, cand_ls + row_ls, cand_n + row_n, cand_ls,
-            cand_n, row_n, tolerance=tolerance,
-        )
-        # Rows that repeatedly pass the individual screen but lose the
-        # commit prefix (marginal fits to a hot cluster) are demoted to the
-        # rejected path: serial would have scattered them too, and without
-        # the demotion they can spin for all rounds at low thresholds
-        accept = accept & pending & has_cand & (strikes < 2)
-
-        # ---- conflict resolution: serial prefix commits per candidate ----
-        # Rows accepted toward the same cluster are ordered by row index and
-        # committed as the longest prefix for which EVERY cumulative merge
-        # still satisfies the criterion — exactly the serial outcome for a
-        # same-cluster insertion queue, resolved in one round (winner-only
-        # fallbacks drain a queue of Q rows in Q rounds)
-        akey = jnp.where(accept, best, big)
-        aorder, agrp, astart = _group_ids_by_key(akey)
-        a_ok = accept[aorder]
-        s_ls = jnp.where(a_ok[:, None], row_ls[aorder], 0)
-        s_n = jnp.where(a_ok, row_n[aorder], 0)
-        iota_m = row_idx  # 0..m-1
-        # Per-row index of its segment's first sorted position
-        seg_start = lax.cummax(jnp.where(astart, iota_m, 0))
-        # Inclusive cumulative sums within each segment
-        cum_ls = jnp.cumsum(s_ls, axis=0)
-        cum_n = jnp.cumsum(s_n)
-        excl_ls = cum_ls - s_ls
-        excl_n = cum_n - s_n
-        base_ls = excl_ls[seg_start]
-        base_n = excl_n[seg_start]
-        pre_ls = excl_ls - base_ls  # sum of earlier rows in the segment
-        pre_n = excl_n - base_n
-        cand_ls_s = cand_ls[aorder]
-        cand_n_s = cand_n[aorder]
-        new_ls_s = cand_ls_s + pre_ls + s_ls
-        new_n_s = cand_n_s + pre_n + s_n
-        acc_pref = (
-            merge_accept_batch(
-                criterion, threshold, new_ls_s, new_n_s,
-                cand_ls_s + pre_ls, cand_n_s + pre_n, s_n,
-                tolerance=tolerance,
-            )
-            & a_ok
-        )
-        # Longest all-accepted prefix: cumulative count equals local rank + 1
-        acc_cum = jnp.cumsum(acc_pref.astype(jnp.int32))
-        acc_base = (acc_cum - acc_pref.astype(jnp.int32))[seg_start]
-        rank = iota_m - seg_start
-        committed_sorted = acc_pref & (
-            acc_cum - acc_base == rank + 1
-        )
-        merge_commit = jnp.zeros((m,), bool).at[aorder].set(committed_sorted)
-
-        # ---- 4. leader election among rejected rows (per routed group) ----
-        rejected = pending & ~accept
-        if criterion == "never-merge":
-            leader = rejected
-            join = jnp.zeros((m,), bool)
-            lead_of = row_idx
-        else:
-            rcent = jnp.where(rejected[:, None], row_cent, 0)
-            rsims = lax.dot_general(
-                rcent, rcent, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            rpop = jnp.where(rejected, row_pop, 0)
-            runion = rpop[:, None] + rpop[None, :] - rsims
-            rsims = rsims / jnp.maximum(runion, 1.0)
-            same_group = row_group[:, None] == row_group[None, :]
-            lower = row_idx[None, :] < row_idx[:, None]  # [j, i]: i < j
-            sim_to_lower = jnp.where(
-                lower & rejected[None, :] & same_group, rsims, _NEG
-            )
-            # Rows whose join failed last round self-promote: otherwise a
-            # follower of a never-cohesive group can retry forever
-            leads = rejected & (
-                force_lead | ~jnp.any(sim_to_lower >= threshold, axis=1)
-            )
-            sim_to_leader = jnp.where(leads[None, :], sim_to_lower, _NEG)
-            lead_of = jnp.argmax(sim_to_leader, axis=1).astype(jnp.int32)
-            best_lead_sim = jnp.max(sim_to_leader, axis=1)
-            join = rejected & ~leads & (best_lead_sim >= threshold)
-            leader = leads
-            lead_of = jnp.where(leader, row_idx, lead_of)
-
-        # Cohesion check of each leader's would-be cluster (new clusters have
-        # no history, so every criterion reduces to its screen)
-        jkey = jnp.where(leader | join, lead_of, big)
-        jorder, jgrp, _jstart = _group_ids_by_key(jkey)
-        j_ok = (leader | join)[jorder]
-        j_ls = jnp.where(j_ok[:, None], row_ls[jorder], 0)
-        j_n = jnp.where(j_ok, row_n[jorder], 0)
-        gj_ls = jax.ops.segment_sum(j_ls, jgrp, num_segments=m)
-        gj_n = jax.ops.segment_sum(j_n, jgrp, num_segments=m)
-        gj_ok = merge_accept_batch(
-            criterion, threshold, gj_ls, jnp.maximum(gj_n, 2),
-            jnp.zeros_like(gj_ls), jnp.ones_like(gj_n), gj_n,
-            tolerance=tolerance,
-        ) | (gj_n <= 1)
-        join_ok = jnp.zeros((m,), bool).at[jorder].set(gj_ok[jgrp])
-        join_commit = join & join_ok
-        # Followers of a non-cohesive would-be cluster become creators in the
-        # SAME round (waiting a round to re-elect costs a full round of the
-        # while loop for no quality gain)
-        creator = leader | (join & ~join_ok)
-
-        # ---- 5. tile positions for new clusters (per-group, index order);
-        # creations into full tiles open a fresh overflow group so the step
-        # always makes progress (host splits rebalance later) ----
-        ckey = jnp.where(creator, row_group, big)
-        corder, cgrp, _cstart = _group_ids_by_key(ckey)
-        crank_sorted = _segment_rank(cgrp, creator[corder])
-        crank = jnp.zeros((m,), jnp.int32).at[corder].set(crank_sorted)
-        new_pos = state.g_count[row_group] + crank
-        # Creations beyond the tile open fresh groups, packed densely in
-        # chunks of `tile` per routed group (not one group per leader)
-        chunk = new_pos // tile  # 0 = fits the routed group's tile
-        chunk_sorted = jnp.where(creator[corder], chunk[corder], 0)
-        # segment_max fills EMPTY segments with int32-min: clamp to 0
-        seg_new = jnp.maximum(
-            jax.ops.segment_max(chunk_sorted, cgrp, num_segments=m), 0
-        )  # new groups needed per routed-group segment
-        seg_base = jnp.cumsum(seg_new) - seg_new
-        seg_of_row = jnp.zeros((m,), jnp.int32).at[corder].set(cgrp)
-        over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
-        fits = chunk == 0
-        # Rows whose overflow group would exceed capacity pend; the host
-        # grows the tables and retries (keeps capacity checks sync-free)
-        g_cap_arr = state.g_ls.shape[0]
-        fits_g = fits | (over_group < g_cap_arr - 1)
-        tgt_group = jnp.where(fits, row_group, over_group)
-        tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
-        create_commit = creator & fits_g
-        join_commit = join_commit & fits_g[lead_of]
-
-        lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
-        new_slot = state.num + lead_rank
-        slot_of_row = jnp.where(
-            merge_commit,
-            best,
-            jnp.where(
-                create_commit,
-                new_slot,
-                jnp.where(join_commit, new_slot[lead_of], -1),
-            ),
-        )
-        commit = merge_commit | create_commit | join_commit
-
-        # ---- 6. scatter-commit the flat cluster tables.  Masked rows use an
-        # out-of-bounds index + mode="drop": a shared in-bounds guard slot
-        # makes XLA serialize the duplicate updates (~60 ms per scatter at
-        # M=8192 measured on v5e vs ~1 ms dropped) ----
-        c_cap_arr = state.n.shape[0]
-        num = state.num + jnp.sum(create_commit.astype(jnp.int32))
-        g_num = jnp.minimum(
-            state.g_num + jnp.sum(seg_new), jnp.int32(g_cap_arr - 1)
-        )
-        new_slot_drop = jnp.where(create_commit, new_slot, c_cap_arr)
-        cg = state.group.at[new_slot_drop].set(
-            tgt_group, mode="drop", unique_indices=True
-        )
-        cpos = state.pos.at[new_slot_drop].set(
-            tgt_pos, mode="drop", unique_indices=True
-        )
-        g_count = state.g_count.at[
-            jnp.where(create_commit, tgt_group, g_cap_arr)
-        ].add(1, mode="drop")
-
-        # ---- 7. aggregates of joint creations + tile entries for CREATED
-        # clusters only.  Merged clusters keep a slightly stale tile centroid
-        # within this step; the post-loop refresh rebuilds every touched tile
-        # entry from the CF truth (recomputing gathered centroids every round
-        # cost ~10 ms/round) ----
-        gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
-            gj_ls[jgrp], unique_indices=True
-        )
-        gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(
-            gj_n[jgrp], unique_indices=True
-        )
-        created_ls = jnp.where(
-            (join_ok & fits)[:, None], gj_full_ls, row_ls
-        )
-        created_n = jnp.where(join_ok & fits, gj_full_n, row_n)
-        c_cent = majority_centroid_from_sums(
-            created_ls, jnp.maximum(created_n, 1)
-        )
-        c_packed = pack_fingerprints_device(c_cent)
-        ts_g = jnp.where(create_commit, tgt_group, g_cap_arr)
-        t_pk = state.t_pk.at[ts_g, tgt_pos].set(
-            c_packed, mode="drop", unique_indices=True
-        )
-        t_pops = state.t_pops.at[ts_g, tgt_pos].set(
-            jnp.sum(c_cent.astype(jnp.int32), axis=-1),
-            mode="drop",
-            unique_indices=True,
-        )
-        t_slot = state.t_slot.at[ts_g, tgt_pos].set(
-            new_slot, mode="drop", unique_indices=True
-        )
-
-        # ---- 8. sparse linear-sum pool bookkeeping.  Pool rows are
-        # allocated for (a) singletons receiving their first merge
-        # ("promotion": old bits + this round's committed rows) and (b)
-        # multi-member creations (leader + joiners aggregated).  Capacity is
-        # guaranteed by the host: promotions + pooled creations per batch
-        # never exceed the valid row count.  All merge updates are
-        # PRE-AGGREGATED per candidate segment (one writer row each) —
-        # per-row scatter-adds serialize whenever many rows hit the same
-        # hot cluster, which is the norm at low thresholds. ----
-        p_cap_arr = state.ls.shape[0]
-        cand_ref_s = cand_ref[aorder]
-        seg_add_ls = jax.ops.segment_sum(
-            jnp.where(committed_sorted[:, None], row_ls[aorder], 0),
-            agrp,
-            num_segments=m,
-        )[agrp]  # (M, F): each sorted row -> its segment's committed sum
-        seg_any = astart & committed_sorted  # one writer per segment
-        promo_sorted = seg_any & (cand_ref_s < 0)
-        adder_sorted = seg_any & (cand_ref_s >= 0)
-        pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
-        pool_created_n = jnp.where(join_ok, gj_full_n, row_n)
-        create_pool = create_commit & (pool_created_n >= 2)
-        n_promo = jnp.sum(promo_sorted.astype(jnp.int32))
-        ref_promo_sorted = (
-            state.num_ls + jnp.cumsum(promo_sorted.astype(jnp.int32)) - 1
-        )
-        ref_create = (
-            state.num_ls
-            + n_promo
-            + jnp.cumsum(create_pool.astype(jnp.int32))
-            - 1
-        )
-        num_ls = (
-            state.num_ls + n_promo + jnp.sum(create_pool.astype(jnp.int32))
-        )
-        pool = state.ls.at[
-            jnp.where(promo_sorted, ref_promo_sorted, p_cap_arr)
-        ].set(cand_ls_s + seg_add_ls, mode="drop", unique_indices=True)
-        pool = pool.at[
-            jnp.where(adder_sorted, cand_ref_s, p_cap_arr)
-        ].add(seg_add_ls, mode="drop", unique_indices=True)
-        pool = pool.at[jnp.where(create_pool, ref_create, p_cap_arr)].set(
-            pool_created_ls, mode="drop", unique_indices=True
-        )
-        best_s = best[aorder]
-        ls_ref = state.ls_ref.at[
-            jnp.where(promo_sorted, best_s, c_cap_arr)
-        ].set(ref_promo_sorted, mode="drop", unique_indices=True)
-        ls_ref = ls_ref.at[jnp.where(create_pool, new_slot, c_cap_arr)].set(
-            ref_create, mode="drop", unique_indices=True
-        )
-
-        # Cluster counts, pre-aggregated the same way: one writer per merge
-        # segment, creations carry their joiners' counts
-        seg_add_n = jax.ops.segment_sum(
-            jnp.where(committed_sorted, row_n[aorder], 0),
-            agrp,
-            num_segments=m,
-        )[agrp]
-        n = state.n.at[jnp.where(seg_any, best_s, c_cap_arr)].add(
-            seg_add_n, mode="drop", unique_indices=True
-        )
-        n = n.at[jnp.where(create_commit, new_slot, c_cap_arr)].add(
-            pool_created_n, mode="drop", unique_indices=True
-        )
-
-        # (group CFs g_ls/g_n are folded in ONCE per step by
-        # _refresh_touched — nothing inside the loop reads them)
-
-        assigned = jnp.where(commit, slot_of_row, assigned)
-        pending = pending & ~commit
-        struck = pending & (
-            (accept & ~merge_commit)
-            | (join & ~join_commit)
-            | (leader & ~create_commit)
-        )
-        strikes = jnp.where(pending, strikes + struck.astype(jnp.int32), 0)
-        new_state = BatchState(
-            pool, num_ls, ls_ref, n, cg, cpos, num, t_pk, t_pops, t_slot,
-            state.g_ls, state.g_n, state.g_cent, state.g_pops, g_count, g_num,
-        )
-        return (new_state, pending, assigned, strikes, r + 1)
+        return (state, pending, assigned, strikes, r + 1)
 
     pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
     strikes0 = jnp.zeros((m,), jnp.int32)
-    state, pending, assigned, _strikes, rounds = lax.while_loop(
-        cond, round_body, (state, pending0, assigned0, strikes0, jnp.int32(0))
+    carry = lax.while_loop(
+        wide_cond, wide_body,
+        (state, pending0, assigned0, strikes0, jnp.int32(0)),
     )
+    state, pending, assigned, strikes, rounds = carry
+
+    if 0 < narrow < m:
+        mn = narrow
+
+        def narrow_cond(carry):
+            _state, pending, _assigned, _strikes, r = carry
+            return (r < max_rounds) & jnp.any(pending)
+
+        def narrow_body(carry):
+            state, pending, assigned, strikes, r = carry
+            # Compact the pending rows to the front (stable: original
+            # order preserved, which is all the round logic depends on)
+            order = jnp.argsort(~pending, stable=True)
+            sel = order[:mn]
+            sub_pending = pending[sel]
+            state, sub_pending, sub_assigned, sub_strikes = _insert_round(
+                state, sub_pending, jnp.full((mn,), -1, jnp.int32),
+                strikes[sel],
+                row_ls[sel], row_n[sel], row_cent[sel], row_pk[sel],
+                row_pop[sel], threshold, tolerance, **kw,
+            )
+            assigned = assigned.at[sel].set(
+                jnp.where(sub_assigned >= 0, sub_assigned, assigned[sel]),
+                unique_indices=True,
+            )
+            pending = pending.at[sel].set(sub_pending, unique_indices=True)
+            strikes = strikes.at[sel].set(sub_strikes, unique_indices=True)
+            return (state, pending, assigned, strikes, r + 1)
+
+        carry = lax.while_loop(
+            narrow_cond, narrow_body,
+            (state, pending, assigned, strikes, rounds),
+        )
+        state, pending, assigned, _strikes, rounds = carry
+
     state = _refresh_touched(state, assigned, row_ls, row_n)
     return state, assigned, jnp.sum(pending.astype(jnp.int32)) * 1000 + rounds
 
@@ -715,7 +796,7 @@ def _refresh_touched(
 # SPMD sharded program (bblean_tpu.parallel.sharded)
 _batch_step = functools.partial(
     jax.jit,
-    static_argnames=("criterion", "block", "max_rounds", "use_pallas"),
+    static_argnames=("criterion", "block", "max_rounds", "use_pallas", "narrow"),
     donate_argnums=(0,),
 )(_batch_step_impl)
 
@@ -1196,6 +1277,7 @@ class BatchTree:
             criterion=self.merge_criterion, block=self.route_block,
             max_rounds=self.max_rounds,
             use_pallas=self.use_pallas_search,
+            narrow=self.batch_size // 4,
         )
         n_valid = int(host_valid.sum())
         self._num_upper += n_valid
@@ -1254,6 +1336,7 @@ class BatchTree:
                 criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
                 use_pallas=self.use_pallas_search,
+            narrow=self.batch_size // 4,
             )
             self._num_upper += int(missing.sum())
             self._g_upper += int(missing.sum())

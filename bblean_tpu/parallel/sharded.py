@@ -82,7 +82,7 @@ def _scan_insert_packed(
         state, assigned, _pending = _batch_step_impl(
             state, row_ls, row_n, row_cent, row_pk, row_pop, threshold,
             tolerance, criterion=criterion, block=block,
-            max_rounds=max_rounds,
+            max_rounds=max_rounds, narrow=row_ls.shape[0] // 4,
         )
         return state, assigned
 
@@ -108,7 +108,7 @@ def _scan_insert_buffers(
         state, assigned, _pending = _batch_step_impl(
             state, row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop,
             threshold, tolerance, criterion=criterion, block=block,
-            max_rounds=max_rounds,
+            max_rounds=max_rounds, narrow=row_ls.shape[0] // 4,
         )
         return state, assigned
 

@@ -234,3 +234,35 @@ def test_recluster_inplace_consistency() -> None:
     assert flat == list(range(300))
     for ls, members in zip(tree.linear_sums(), tree.cluster_mols()):
         assert (ls == fps[members].sum(0)).all()
+
+
+def test_narrow_retry_rounds_label_identical() -> None:
+    r"""The compacted narrow retry phase must commit exactly what the
+    all-wide round loop commits (every round computation is masked by
+    ``pending`` and order-dependent only through relative row order)."""
+    import jax.numpy as jnp
+
+    from bblean_tpu.engine.batch import (
+        _batch_step_impl,
+        _init_state,
+        _prep_fp_rows,
+    )
+
+    m = 256
+    fps = make_fake_fingerprints(m, seed=SEED)
+    rows = _prep_fp_rows(jnp.asarray(fps), jnp.ones((m,), bool), 2048)
+
+    def run(narrow):
+        state = _init_state(1024, 64, 256, 2048, 512)
+        state, assigned, enc = _batch_step_impl(
+            state, *rows, jnp.float32(0.3), jnp.float32(0.05),
+            criterion="diameter", block=64, max_rounds=24, narrow=narrow,
+        )
+        return np.asarray(assigned), int(enc), state
+
+    a0, e0, s0 = run(0)
+    a1, e1, s1 = run(m // 4)
+    np.testing.assert_array_equal(a0, a1)
+    assert e0 // 1000 == 0 and e1 // 1000 == 0  # both drained
+    np.testing.assert_array_equal(np.asarray(s0.n), np.asarray(s1.n))
+    np.testing.assert_array_equal(np.asarray(s0.group), np.asarray(s1.group))
