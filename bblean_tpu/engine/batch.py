@@ -382,13 +382,44 @@ def _insert_round(
         )
         & a_ok
     )
-    # Longest all-accepted prefix: cumulative count equals local rank + 1
-    acc_cum = jnp.cumsum(acc_pref.astype(jnp.int32))
-    acc_base = (acc_cum - acc_pref.astype(jnp.int32))[seg_start]
-    rank = iota_m - seg_start
-    committed_sorted = acc_pref & (
-        acc_cum - acc_base == rank + 1
-    )
+    # ---- pass 2 (adaptive): skip failed rows and re-validate ----
+    # Serial semantics: a row that fails its merge does NOT contribute mass
+    # to later rows' tests — later rows are tested against the state
+    # without it.  Pass 1 finds the failures under maximal mass; pass 2
+    # recomputes the prefix sums over the surviving rows only and commits
+    # the longest prefix for which EVERY surviving cumulative merge holds
+    # (each committed state exactly satisfies its criterion).  Without
+    # this, every row behind an early failure burns a full extra round.
+    # (Runs unconditionally: a lax.cond guard measured 2.2x SLOWER at
+    # t=0.3 — the conditional breaks XLA's fusion through the round body.)
+    def _commit_pass2(inc2):
+        s_ls2 = jnp.where(inc2[:, None], row_ls[aorder], 0)
+        s_n2 = jnp.where(inc2, row_n[aorder], 0)
+        cum_ls2 = jnp.cumsum(s_ls2, axis=0)
+        cum_n2 = jnp.cumsum(s_n2)
+        excl_ls2 = cum_ls2 - s_ls2
+        excl_n2 = cum_n2 - s_n2
+        pre_ls2 = excl_ls2 - excl_ls2[seg_start]
+        pre_n2 = excl_n2 - excl_n2[seg_start]
+        acc2 = (
+            merge_accept_batch(
+                criterion, threshold, cand_ls_s + pre_ls2 + s_ls2,
+                cand_n_s + pre_n2 + s_n2, cand_ls_s + pre_ls2,
+                cand_n_s + pre_n2, s_n2, tolerance=tolerance,
+            )
+            & inc2
+        )
+        # Longest prefix among the SURVIVING rows: accepted count so far
+        # must equal surviving count so far within the segment
+        acc2_i = acc2.astype(jnp.int32)
+        inc2_i = inc2.astype(jnp.int32)
+        acc2_cum = jnp.cumsum(acc2_i)
+        inc2_cum = jnp.cumsum(inc2_i)
+        acc2_run = acc2_cum - (acc2_cum - acc2_i)[seg_start]
+        inc2_run = inc2_cum - (inc2_cum - inc2_i)[seg_start]
+        return acc2 & (acc2_run == inc2_run)
+
+    committed_sorted = _commit_pass2(acc_pref)
     merge_commit = jnp.zeros((m,), bool).at[aorder].set(committed_sorted)
 
     # ---- 4. leader election among rejected rows (per routed group) ----
@@ -554,7 +585,12 @@ def _insert_round(
         agrp,
         num_segments=m,
     )[agrp]  # (M, F): each sorted row -> its segment's committed sum
-    seg_any = astart & committed_sorted  # one writer per segment
+    # One writer per segment: the FIRST COMMITTED row (pass 2 may exclude
+    # the segment's first sorted row while later rows commit)
+    cmt_i = committed_sorted.astype(jnp.int32)
+    cmt_cum = jnp.cumsum(cmt_i)
+    cmt_run = cmt_cum - (cmt_cum - cmt_i)[seg_start]
+    seg_any = committed_sorted & (cmt_run == 1)
     promo_sorted = seg_any & (cand_ref_s < 0)
     adder_sorted = seg_any & (cand_ref_s >= 0)
     pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
