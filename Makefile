@@ -24,7 +24,8 @@ test:
 # sharded multi-device tests skip themselves on a single chip.
 test-tpu:
 	BBLEAN_TPU_TEST_PLATFORM=axon python -m pytest \
-		tests/test_ops.py tests/test_batch_engine.py -x -q
+		tests/test_ops.py tests/test_batch_engine.py \
+		tests/test_pallas_search_sorted.py -x -q
 
 clean:
 	rm -rf bblean_tpu/csrc/build

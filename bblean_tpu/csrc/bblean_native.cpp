@@ -34,6 +34,10 @@
 #include <vector>
 #include <limits>
 
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -46,6 +50,45 @@ inline uint64_t load_u64(const uint8_t* p) {
     return v;
 }
 
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+// 64 bytes per iteration through the AVX-512 VPOPCNTQ unit.  Unaligned
+// loads are fine (loadu); the 8-byte scalar tail handles any remainder.
+inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
+    __m512i acc = _mm512_setzero_si512();
+    int64_t i = 0;
+    for (; i + 64 <= n_bytes; i += 64) {
+        __m512i v = _mm512_loadu_si512(p + i);
+        acc = _mm512_add_epi64(acc, _mm512_popcnt_epi64(v));
+    }
+    int64_t total = _mm512_reduce_add_epi64(acc);
+    for (; i + 8 <= n_bytes; i += 8) {
+        total += __builtin_popcountll(load_u64(p + i));
+    }
+    for (; i < n_bytes; ++i) {
+        total += __builtin_popcount(p[i]);
+    }
+    return total;
+}
+
+inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
+                                  int64_t n_bytes) {
+    __m512i acc = _mm512_setzero_si512();
+    int64_t i = 0;
+    for (; i + 64 <= n_bytes; i += 64) {
+        __m512i v = _mm512_and_si512(_mm512_loadu_si512(a + i),
+                                     _mm512_loadu_si512(b + i));
+        acc = _mm512_add_epi64(acc, _mm512_popcnt_epi64(v));
+    }
+    int64_t total = _mm512_reduce_add_epi64(acc);
+    for (; i + 8 <= n_bytes; i += 8) {
+        total += __builtin_popcountll(load_u64(a + i) & load_u64(b + i));
+    }
+    for (; i < n_bytes; ++i) {
+        total += __builtin_popcount(a[i] & b[i]);
+    }
+    return total;
+}
+#else
 inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
     int64_t total = 0;
     int64_t i = 0;
@@ -70,6 +113,7 @@ inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
     }
     return total;
 }
+#endif
 
 inline double tanimoto_from_counts(int64_t inter, int64_t card_a,
                                    int64_t card_b) {
