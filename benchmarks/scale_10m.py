@@ -1,10 +1,11 @@
 """North-star scale validation: 10M x 2048-bit fingerprints, one chip.
 
-Measured on a single TPU v5e (2026-08-16):
+Measured on a single TPU v5e (2026-08-16, narrow-retry + two-pass-commit
+engine):
 
-    fit: 192.2 s = 52,038 fps/s   (4.7x the reference's single-core C++ cap)
-    clusters: 9,787,215   groups: 43,843   sparse-ls pool rows: 2,562
-    cluster_sizes(): 2.9 s; cluster_mols() for all 10M rows: 35.4 s
+    fit: 135.1 s = 74,019 fps/s   (6.7x the reference's single-core C++ cap)
+    clusters: 9,783,327   groups: 43,003   sparse-ls pool rows: 2,588
+    cluster_sizes(): ~3 s; cluster_mols() for all 10M rows: ~40 s
     HBM: tiles 8.6 GB + groups 1.1 GB + cluster scalars 0.27 GB
          + pool 0.5 GB (fps streamed from host, never resident)
 
