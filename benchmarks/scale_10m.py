@@ -3,11 +3,12 @@
 Measured on a single TPU v5e (2026-08-16, narrow-retry + two-pass-commit
 engine):
 
-    fit: 135.1 s = 74,019 fps/s   (6.7x the reference's single-core C++ cap)
-    clusters: 9,783,327   groups: 43,003   sparse-ls pool rows: 2,588
-    cluster_sizes(): ~3 s; cluster_mols() for all 10M rows: ~40 s
-    HBM: tiles 8.6 GB + groups 1.1 GB + cluster scalars 0.27 GB
-         + pool 0.5 GB (fps streamed from host, never resident)
+    t=0.65: fit 135.1 s = 74,019 fps/s (6.7x the reference's single-core
+        C++ cap); 9,783,327 clusters; 43,003 groups; 2,588 ls-pool rows;
+        HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident)
+    t=0.3 (the reference CLI's default): fit 126.0 s = 79,372 fps/s (7.1x);
+        3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB;
+        cluster_mols() for all 10M rows: 15 s
 
 Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
 
@@ -47,9 +48,11 @@ def main() -> None:
         batch_size=8192,
         fanout=384,
         tile=512,
-        g_capacity=1 << 16,
+        g_capacity=1 << 16 if threshold >= 0.5 else 1 << 15,
         initial_capacity=1 << 24 if threshold >= 0.5 else 1 << 23,
-        ls_capacity=1 << 16 if threshold >= 0.5 else 1 << 21,
+        # Both regimes keep the sparse pool tiny: 2.6k rows at t=0.65
+        # (singletons), 17k at t=0.3 (few giant clusters + singletons)
+        ls_capacity=1 << 16,
     )
     # Warm-up: compile every program at the final table shapes
     warm = BatchTree(2048, **kw)
