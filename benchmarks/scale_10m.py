@@ -6,9 +6,9 @@ engine):
     t=0.65: fit 135.1 s = 74,019 fps/s (6.7x the reference's single-core
         C++ cap); 9,783,327 clusters; 43,003 groups; 2,588 ls-pool rows;
         HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident)
-    t=0.3 (the reference CLI's default): fit 126.0 s = 79,372 fps/s (7.1x);
-        3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB;
-        cluster_mols() for all 10M rows: 15 s
+    t=0.3 (the reference CLI's default): fit 106.4 s = 93,989 fps/s (8.5x);
+        3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB
+        tables + the 2.6 GB staged input; cluster_mols() for 10M rows: 15 s
 
 Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
 
@@ -54,6 +54,12 @@ def main() -> None:
         # (singletons), 17k at t=0.3 (few giant clusters + singletons)
         ls_capacity=1 << 16,
     )
+    if threshold < 0.5:
+        # t=0.3 tables leave room for the input in HBM: on-device slicing
+        # beats streamed host uploads by ~20 s at 10M (fps stay resident)
+        fps = jax.device_put(fps)
+        jax.block_until_ready(fps)
+
     # Warm-up: compile every program at the final table shapes
     warm = BatchTree(2048, **kw)
     warm.fit_packed(fps[: 1 << 16], range(1 << 16))
