@@ -317,7 +317,14 @@ def _insert_round(
     )
 
     # ---- 2. in-group candidate search (VPU over packed tiles) ----
-    if use_pallas:
+    # The compiled kernel needs lane-aligned shapes; narrow retry windows
+    # and small/odd configs fall back to the XLA gather (shapes are static,
+    # so this resolves at trace time).  Backend capability is resolved by
+    # the HOST (BatchTree gates on sorted_search_supported()) — probing
+    # here would inline the probe's jit into the traced program.
+    f8_ = row_pk.shape[1]
+    fc_ = state.t_pk.shape[1]
+    if use_pallas and m % 64 == 0 and f8_ % 128 == 0 and fc_ % 128 == 0:
         from bblean_tpu.ops.pallas_search2 import tile_search_sorted
 
         # The last group slot is the scatter guard and never holds live
@@ -1116,7 +1123,13 @@ class BatchTree:
         # The sorted multi-row Pallas search (ops/pallas_search2.py) is
         # bit-identical and 3.6-15x faster than the XLA gather as a
         # standalone dispatch, but inside the fused step XLA's gather is
-        # already ~2 ms and the kernel's extra argsort loses ~5%; opt-in
+        # already ~2 ms and the kernel's extra argsort loses ~5%; opt-in.
+        # Gated on a one-time backend probe: CPU backends (tests, fallback
+        # deployments) silently use the XLA search instead
+        if use_pallas_search:
+            from bblean_tpu.ops.pallas_search2 import sorted_search_supported
+
+            use_pallas_search = sorted_search_supported()
         self.use_pallas_search = use_pallas_search
         self.capacity = _next_pow2(
             max(initial_capacity, 2 * batch_size + 1)
@@ -1372,7 +1385,7 @@ class BatchTree:
                 criterion=self.merge_criterion, block=self.route_block,
                 max_rounds=self.max_rounds,
                 use_pallas=self.use_pallas_search,
-            narrow=self.batch_size // 4,
+                narrow=self.batch_size // 4,
             )
             self._num_upper += int(missing.sum())
             self._g_upper += int(missing.sum())

@@ -235,7 +235,6 @@ def tile_search_sorted(
 
     # Next-distinct-group schedule for the prefetcher: for each sorted row,
     # the key of the segment after its own (guard G when none)
-    is_last_m1 = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
     # seg index per row, then first key of seg+1
     seg = jnp.cumsum(
         jnp.concatenate([jnp.zeros((1,), jnp.int32),

@@ -25,7 +25,12 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from pathlib import Path
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from bblean_tpu.engine.batch import BatchTree

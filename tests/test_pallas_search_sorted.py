@@ -114,3 +114,53 @@ def test_sorted_search_rejects_misaligned_compiled() -> None:
     args = _mk(rng, 64, 8, 16, 32, "few")
     with pytest.raises(ValueError, match="Fc % 128"):
         tile_search_sorted(*args, interpret=False)
+
+
+def test_sorted_search_guard_group_path() -> None:
+    r"""The engine-integration path (``guard_group=<reserved tile>``, no
+    table append) must match both the XLA search and the append-guard
+    variant — this is the only path ``use_pallas_search=True`` runs."""
+    m, g, fc, f8 = 64, 8, 16, 32
+    rng = np.random.default_rng(11)
+    args = list(_mk(rng, m, g, fc, f8, "few"))
+    # Reserve the last tile as the guard, like the engine's state does
+    t_pk = np.asarray(args[3]).copy()
+    t_slot = np.asarray(args[5]).copy()
+    t_pk[g - 1] = 0
+    t_slot[g - 1] = -1
+    args[3] = jnp.asarray(t_pk)
+    args[5] = jnp.asarray(t_slot)
+    row_group = jnp.minimum(args[2], g - 2)  # never route to the guard
+    args[2] = row_group
+    ref_sim, ref_slot = _search_tiles(*args)
+    got_sim, got_slot = tile_search_sorted(
+        *args, interpret=_INTERPRET, guard_group=g - 1
+    )
+    app_sim, app_slot = tile_search_sorted(*args, interpret=_INTERPRET)
+    ref_sim = np.asarray(ref_sim)
+    np.testing.assert_array_equal(ref_sim, np.asarray(got_sim))
+    np.testing.assert_array_equal(ref_sim, np.asarray(app_sim))
+    has_cand = ref_sim > -1.5
+    np.testing.assert_array_equal(
+        np.asarray(ref_slot)[has_cand], np.asarray(got_slot)[has_cand]
+    )
+
+
+def test_engine_pallas_search_small_configs_fall_back() -> None:
+    r"""use_pallas_search with misaligned shapes (small batch, narrow retry
+    windows, odd tiles) must transparently fall back to the XLA search
+    instead of raising (regression: the sorted kernel's alignment check
+    fired at trace time for batch_size=128)."""
+    from bblean_tpu.engine.batch import BatchTree
+    from bblean_tpu.fingerprints import make_fake_fingerprints
+
+    fps = make_fake_fingerprints(400, seed=9)
+    a = BatchTree(2048, threshold=0.3, batch_size=128, initial_capacity=1024)
+    a.fit_packed(fps, range(400))
+    b = BatchTree(
+        2048, threshold=0.3, batch_size=128, initial_capacity=1024,
+        use_pallas_search=True,
+    )
+    b.fit_packed(fps, range(400))
+    assert a.num_clusters == b.num_clusters
+    assert a.cluster_mols() == b.cluster_mols()
