@@ -6,9 +6,11 @@ engine):
     t=0.65: fit 135.1 s = 74,019 fps/s (6.7x the reference's single-core
         C++ cap); 9,783,327 clusters; 43,003 groups; 2,588 ls-pool rows;
         HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident)
-    t=0.3 (the reference CLI's default): fit 106.4 s = 93,989 fps/s (8.5x);
+    t=0.3 (the reference CLI's default): fit 101.9 s = 98,159 fps/s (8.8x);
         3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB
-        tables + the 2.6 GB staged input; cluster_mols() for 10M rows: 15 s
+        tables + the 2.6 GB staged input; cluster_mols() for 10M rows: 21 s
+    20M @ t=0.3 (streamed input, g_capacity 2^15, ls_capacity 2^16):
+        fit 259.8 s = 76,990 fps/s; 7,981,627 clusters
 
 Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
 
