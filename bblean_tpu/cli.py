@@ -345,7 +345,21 @@ def _run_batch_engine(
 ) -> None:
     r"""TPU path of ``bb run``: the batched engine over the accelerator."""
     from bblean_tpu.engine.batch import BatchTree
-    from bblean_tpu.fingerprints import pack_fingerprints
+    from bblean_tpu.fingerprints import _get_fps_file_num, pack_fingerprints
+
+    # Pre-size the device tables from the total input row count (read from
+    # the .npy headers, nothing loaded): avoids up to ~11 growth recompiles
+    # on a 10M-row input.  Clusters can never exceed rows.
+    total_rows = 0
+    for file in input_files:
+        n = _get_fps_file_num(file)
+        total_rows += min(n, max_fps) if max_fps is not None else n
+    capacity = max(8192, total_rows + batch_size + 1)
+    tile = None
+    if fanout == 192 and total_rows > 2_000_000:
+        # Reference guidance scaled to the tiled layout: larger groups at
+        # very large scale keep the routing table (and its matmul) small
+        fanout, tile = 384, 512
 
     tree: BatchTree | None = None
     offset = 0
@@ -363,6 +377,8 @@ def _run_batch_engine(
                     tolerance=tolerance,
                     batch_size=batch_size,
                     fanout=fanout,
+                    **({"tile": tile} if tile is not None else {}),
+                    initial_capacity=capacity,
                 )
             tree.fit_packed(np.asarray(fps), range(offset, offset + len(fps)))
             offset += len(fps)

@@ -1147,23 +1147,29 @@ class BatchTree:
             max(initial_capacity, 2 * batch_size + 1)
         )
         # Sparse linear-sum pool: only multi-member clusters hold a row.
-        # The default sizes it at 1/4 of the cluster capacity (singleton-
-        # heavy regimes use far less); it grows on demand like the others.
+        # Measured occupancy stays tiny in both regimes (17k rows at 10M
+        # t=0.3, 2.6k at t=0.65 — a pool row is 8 KB of dense int32, so the
+        # old capacity//4 default would burn 33 GB at 16M capacity); the
+        # default is capped and the pool grows on demand like the others.
         self.ls_capacity = _next_pow2(
             ls_capacity
             if ls_capacity is not None
-            else max(self.capacity // 4, 2 * batch_size + 1)
+            else max(
+                min(self.capacity // 4, 1 << 17), 2 * batch_size + 1
+            )
         )
-        # Enough group headroom that a full batch of in-step creations never
-        # forces a mid-run recompile (growth re-specializes the step).
-        # Override for very large capacities: the heuristic over-allocates
-        # tile memory there (true need is ~capacity/fanout * 1.3)
+        # Group headroom: saturation packs ~fanout clusters per group, so
+        # the true need is ~capacity/fanout with ~1.3x slack for split
+        # halves and overflow chunks.  Tiles cost g_capacity * tile * F/8
+        # bytes — the dominant HBM term — so over-allocating here is what
+        # used to force manual g_capacity at 10M+ scale.  Growth doubles
+        # (one recompile) if a run outpaces the slack.
         self.g_capacity = _next_pow2(
             g_capacity
             if g_capacity is not None
             else max(
                 256,
-                self.capacity // max(fanout // 2, 1),
+                self.capacity * 13 // (10 * max(fanout, 1)),
                 2 * batch_size + 2,
             )
         )

@@ -266,3 +266,20 @@ def test_narrow_retry_rounds_label_identical() -> None:
     assert e0 // 1000 == 0 and e1 // 1000 == 0  # both drained
     np.testing.assert_array_equal(np.asarray(s0.n), np.asarray(s1.n))
     np.testing.assert_array_equal(np.asarray(s0.group), np.asarray(s1.group))
+
+
+def test_default_capacities_scale_sanely() -> None:
+    r"""Default g/ls capacities must track measured occupancy, not blow up
+    HBM at scale: tiles are g_capacity*tile*F/8 bytes and a pool row is 4*F
+    bytes, so the 10M-row configuration has to stay far under a 16 GB chip
+    (measured: 43k groups and <20k pool rows at 10M)."""
+    tree = BatchTree(2048, initial_capacity=1 << 24, fanout=384, tile=512)
+    tile_gb = tree.g_capacity * tree.tile * 256 / 2**30
+    pool_gb = tree.ls_capacity * 2048 * 4 / 2**30
+    assert tree.g_capacity >= (1 << 24) // 384  # must be able to saturate
+    assert tile_gb <= 9.0, f"default tiles would need {tile_gb:.1f} GB"
+    assert pool_gb <= 1.1, f"default ls pool would need {pool_gb:.1f} GB"
+    # Small configs keep enough headroom for one full batch of creations
+    small = BatchTree(2048, initial_capacity=8192, batch_size=1024)
+    assert small.g_capacity >= 2 * 1024 + 2
+    assert small.ls_capacity >= 2 * 1024 + 1
