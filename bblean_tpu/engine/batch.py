@@ -777,24 +777,10 @@ def _refresh_touched(
     # Group CF accumulation (deferred from the round loop: nothing inside
     # the loop reads g_ls/g_n, so one scatter per step suffices).  Rows are
     # pre-aggregated per group — duplicate scatter indices serialize.
-    # ONE composite (group, slot) int64 sort yields both segmentations:
-    # slot -> group is a function, so distinct composite keys == distinct
-    # slots, and group runs stay contiguous (two int32 sorts cost more
-    # than one int64 sort on TPU).
     m = assigned.shape[0]
-    key = jnp.where(
-        ok,
-        groups.astype(jnp.int64) * jnp.int64(guard_c + 2) + slots,
-        jnp.int64(1) << 62,
-    )
-    gorder = jnp.argsort(key, stable=True)
+    gkey = jnp.where(ok, groups, jnp.int32(1 << 30))
+    gorder, ggrp, gstart = _group_ids_by_key(gkey)
     ok_sorted = ok[gorder]
-    groups_o = groups[gorder]
-    key_o = key[gorder]
-    first = jnp.ones((1,), bool)
-    gstart = jnp.concatenate([first, groups_o[1:] != groups_o[:-1]])
-    sstart = jnp.concatenate([first, key_o[1:] != key_o[:-1]])
-    ggrp = jnp.cumsum(gstart.astype(jnp.int32)) - 1
     grp_sum_ls = jax.ops.segment_sum(
         jnp.where(ok_sorted[:, None], row_ls[gorder], 0),
         ggrp,
@@ -804,7 +790,7 @@ def _refresh_touched(
         jnp.where(ok_sorted, row_n[gorder], 0), ggrp, num_segments=m
     )[ggrp]
     writer = gstart & ok_sorted
-    g_idx = jnp.where(writer, groups_o, g_cap)
+    g_idx = jnp.where(writer, groups[gorder], g_cap)
     g_ls = state.g_ls.at[g_idx].add(
         grp_sum_ls, mode="drop", unique_indices=True
     )
@@ -813,9 +799,11 @@ def _refresh_touched(
     )
     state = state._replace(g_ls=g_ls, g_n=g_n)
 
-    # Tile entries: one writer per distinct touched cluster (same sort)
-    writer_c = sstart & ok_sorted
-    slots_s = slots[gorder]
+    # Tile entries: one writer per distinct touched cluster
+    skey = jnp.where(ok, slots, jnp.int32(1 << 30))
+    sorder, _sgrp, sstart = _group_ids_by_key(skey)
+    writer_c = sstart & ok[sorder]
+    slots_s = slots[sorder]
     t_ls = _cluster_ls_of(state, slots_s, n_features)
     t_n = state.n[slots_s]
     cents = majority_centroid_from_sums(t_ls, jnp.maximum(t_n, 1))
@@ -830,7 +818,7 @@ def _refresh_touched(
 
     # Routing centroids: one writer per distinct touched group (g_ls is
     # already updated above)
-    groups_s = jnp.where(ok_sorted, groups_o, 0)
+    groups_s = jnp.where(ok_sorted, groups[gorder], 0)
     g_cents = majority_centroid_from_sums(
         state.g_ls[groups_s], jnp.maximum(state.g_n[groups_s], 1)
     ).astype(jnp.bfloat16)
