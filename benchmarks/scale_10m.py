@@ -3,9 +3,10 @@
 Measured on a single TPU v5e (2026-08-16, narrow-retry + two-pass-commit
 engine):
 
-    t=0.65: fit 135.1 s = 74,019 fps/s (6.7x the reference's single-core
+    t=0.65: fit 109.5 s = 91,293 fps/s (8.2x the reference's single-core
         C++ cap); 9,783,327 clusters; 43,003 groups; 2,588 ls-pool rows;
-        HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident)
+        HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident);
+        cluster_mols() for 10M rows: 22 s
     t=0.3 (the reference CLI's default): fit 101.9 s = 98,159 fps/s (8.8x);
         3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB
         tables + the 2.6 GB staged input; cluster_mols() for 10M rows: 21 s
