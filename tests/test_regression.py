@@ -105,7 +105,12 @@ def test_fit_memory_rss_delta() -> None:
 
 def test_batch_engine_insert_throughput_floor() -> None:
     r"""Gross-regression guard on the batched device engine (CPU backend):
-    a 20k-row fit at t=0.65 must sustain at least 700 rows/s post-compile (measured ~1.4k on this box)."""
+    a 20k-row fit at t=0.65 must sustain at least 700 rows/s post-compile
+    (measured ~1.4k on this box).  Skips when the host is already loaded —
+    the XLA:CPU backend shares every core, so a wall-clock floor under
+    external load measures the contention, not the engine."""
+    if os.getloadavg()[0] > 0.75 * (os.cpu_count() or 1):
+        pytest.skip("host under load; wall-clock floor would be meaningless")
     from bblean_tpu.engine.batch import BatchTree
 
     fps = make_fake_fingerprints(20_000, seed=5, pack=True)
