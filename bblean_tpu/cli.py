@@ -279,6 +279,9 @@ def _run_sharded_engine(
     The merge-reduction rounds use the refine criterion/threshold-change
     options, mirroring multiround's midsection parameters.
     """
+    from bblean_tpu._jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     from bblean_tpu.parallel import get_mesh, sharded_fit
@@ -344,6 +347,9 @@ def _run_batch_engine(
     recluster_shuffle=False,
 ) -> None:
     r"""TPU path of ``bb run``: the batched engine over the accelerator."""
+    from bblean_tpu._jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from bblean_tpu.engine.batch import BatchTree
     from bblean_tpu.fingerprints import _get_fps_file_num, pack_fingerprints
 
