@@ -343,7 +343,7 @@ def run_multiround_bitbirch(
     # -- Round 1: per-shard tree builds --------------------------------------
     round_idx = 1
     timer.init_timing(f"round-{round_idx}")
-    console.print(f"(Initial) Round {round_idx}: Cluster initial batch of fingerprints")
+    console.print(f"Round {round_idx} (initial): clustering the fingerprint shards")
     initial_fn = _InitialRound(
         n_features=n_features,
         refinement_before_midsection=refinement_before_midsection,
@@ -372,7 +372,7 @@ def run_multiround_bitbirch(
     for _ in range(num_midsection_rounds):
         round_idx += 1
         timer.init_timing(f"round-{round_idx}")
-        console.print(f"(Midsection) Round {round_idx}: Re-clustering in chunks")
+        console.print(f"Round {round_idx} (midsection): merging CF buffers in bins")
         pairs = _collect_round_file_pairs(out_dir, round_idx, console)
         bins = _bin_file_pairs(pairs, bin_size, console)
         merging_fn = _TreeMergingRound(
@@ -399,7 +399,7 @@ def run_multiround_bitbirch(
     # -- Final round ----------------------------------------------------------
     round_idx += 1
     timer.init_timing(f"round-{round_idx}")
-    console.print(f"(Final) Round {round_idx}: Final round of clustering")
+    console.print(f"Round {round_idx} (final): merging the remaining buffers")
     pairs = _collect_round_file_pairs(out_dir, round_idx, console)
     final_fn = _FinalTreeMergingRound(
         save_tree=save_tree,
