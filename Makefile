@@ -4,7 +4,9 @@
 # absent. `make native` produces bblean_tpu/csrc/build/libbblean_native.so.
 
 CXX ?= g++
-CXXFLAGS ?= -O3 -std=c++17 -fPIC -shared -march=native -funroll-loops
+# Portable baseline (runs on any 2009+ x86-64); AVX-512 popcount paths are
+# compiled via per-function target attributes and picked at run time.
+CXXFLAGS ?= -O3 -std=c++17 -fPIC -shared -march=x86-64-v2 -funroll-loops
 SRC := bblean_tpu/csrc/bblean_native.cpp
 OUT := bblean_tpu/csrc/build/libbblean_native.so
 

@@ -63,6 +63,12 @@ def collect_system_specs_and_dump_config(config: dict[str, tp.Any]) -> None:
     r"""Write ``<out_dir>/config.json``: run params + system specs."""
     record = dict(config)
     record.update(_host_specs())
+    if "jax" in sys.modules:  # device engines only — never init jax here
+        from bblean_tpu._memory import device_memory_stats
+
+        hbm = device_memory_stats()
+        if hbm is not None:
+            record["device_memory"] = hbm
     if record.get("num_processes", 1) > 1:
         record["multiprocessing_start_method"] = mp.get_start_method()
         record["visible_cpu_cores"] = os.cpu_count()

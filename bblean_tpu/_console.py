@@ -47,6 +47,26 @@ class BBConsole(Console):
         if path.exists():
             self.print(f"    - Peak RSS so far: {path.read_text().strip()}")
 
+    def print_peak_hbm(self) -> None:
+        r"""Device-memory summary line (no-op when the backend has none)."""
+        import sys
+
+        if "jax" not in sys.modules:
+            return
+        from bblean_tpu._memory import device_memory_stats
+
+        stats = device_memory_stats()
+        if not stats:
+            return
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if peak is None:
+            return
+        line = f"    - Peak device HBM: {peak / 2**30:.2f} GiB"
+        if limit:
+            line += f" of {limit / 2**30:.1f} GiB"
+        self.print(line)
+
 
 class SilentConsole:
     r"""Null-object console used under ``--no-verbose``."""
@@ -64,6 +84,9 @@ class SilentConsole:
         pass
 
     def print_peak_mem(self, *args: tp.Any, **kwargs: tp.Any) -> None:
+        pass
+
+    def print_peak_hbm(self, *args: tp.Any, **kwargs: tp.Any) -> None:
         pass
 
     def status(self, *args: tp.Any, **kwargs: tp.Any) -> tp.ContextManager:

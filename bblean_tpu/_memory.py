@@ -10,8 +10,10 @@ Parity notes (reference ``bblean/_memory.py``):
 - ``launch_monitor_rss_daemon`` samples process-tree RSS into
   ``monitor-rss.csv`` / ``max-rss.txt`` (reference ``_memory.py:143-198``).
 
-On TPU runs the analogous scale axis is device HBM, which is tracked by the
-engines directly; this module only concerns host RAM.
+On TPU runs the analogous scale axis is device HBM:
+``device_memory_stats`` snapshots the backend's allocator stats
+(peak/current bytes in use, limit) for ``config.json`` and the console
+summary.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from pathlib import Path
 import numpy as np
 from numpy.typing import NDArray
 
-__all__ = ["system_mem_gib", "launch_monitor_rss_daemon"]
+__all__ = ["system_mem_gib", "launch_monitor_rss_daemon", "device_memory_stats"]
 
 # Release granularity: 512 hardware pages (2 MiB with 4 KiB pages)
 _SUPER_PAGE_BYTES = mmap.PAGESIZE * 512
@@ -72,6 +74,26 @@ def system_mem_gib() -> tuple[float, float]:
         return vm.total / 2**30, vm.available / 2**30
     except ImportError:  # pragma: no cover
         return 0.0, 0.0
+
+
+def device_memory_stats(device: tp.Any = None) -> dict[str, int] | None:
+    r"""Accelerator (HBM) memory stats of ``device`` (default: first device).
+
+    The TPU analogue of the host-RSS telemetry the reference records per run
+    (``bblean/_memory.py:143-198``): a device framework's scarce resource is
+    HBM, so runs persist ``peak_bytes_in_use``/``bytes_limit`` next to the
+    host numbers.  Returns None when the backend exposes no stats (CPU).
+    """
+    try:
+        import jax
+
+        dev = device if device is not None else jax.local_devices()[0]
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return {k: int(v) for k, v in stats.items() if isinstance(v, (int, float))}
 
 
 def _mmap_file_and_madvise_sequential(

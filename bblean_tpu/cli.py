@@ -116,7 +116,7 @@ def _dump_cluster_outputs(tree, out_dir: Path, save_centroids: bool) -> None:
 @click.option("--packed-input/--unpacked-input", "input_is_packed", default=True)
 @click.option("--engine", type=click.Choice(["exact", "batch", "sharded"]), default="exact", show_default=True, help="exact: reference-identical labels on host; batch: TPU-accelerated batched engine; sharded: SPMD over every visible device")
 @click.option("--batch-size", "engine_batch_size", default=8192, show_default=True, help="[batch engine] rows per device step")
-@click.option("--fanout", "engine_fanout", default=192, show_default=True, help="[batch engine] clusters per group before a split")
+@click.option("--fanout", "engine_fanout", default=None, type=int, help="[batch engine] clusters per group before a split (default: auto-tuned from the input size)")
 @click.option("--monitor-mem/--no-monitor-mem", "monitor_rss", default=True)
 @click.option("--monitor-mem-seconds", "monitor_rss_interval_s", default=1.0, hidden=True)
 @click.option("--max-fps", default=None, type=int, hidden=True)
@@ -142,7 +142,7 @@ def _run(
     input_is_packed: bool,
     engine: str,
     engine_batch_size: int,
-    engine_fanout: int,
+    engine_fanout: int | None,
     monitor_rss: bool,
     monitor_rss_interval_s: float,
     max_fps: int | None,
@@ -262,6 +262,7 @@ def _run(
 
     if "total" in timer._starts:
         timer.end_timing("total", console, indent=False)
+    console.print_peak_hbm()
     collect_system_specs_and_dump_config(config)
     timer.dump(out_dir / "timings.json")
     _link_input_fps(out_dir, input_files, copy_inputs)
@@ -341,7 +342,7 @@ def _run_sharded_engine(
 def _run_batch_engine(
     input_files, out_dir, config, console, timer, *, threshold,
     merge_criterion, tolerance, n_features, input_is_packed, max_fps,
-    save_centroids, batch_size=8192, fanout=192, refine_num=0,
+    save_centroids, batch_size=8192, fanout=None, refine_num=0,
     refine_rounds=0, refine_merge_criterion=None,
     refine_threshold_change=0.0, recluster_rounds=0,
     recluster_shuffle=False,
@@ -362,10 +363,16 @@ def _run_batch_engine(
         total_rows += min(n, max_fps) if max_fps is not None else n
     capacity = max(8192, total_rows + batch_size + 1)
     tile = None
-    if fanout == 192 and total_rows > 2_000_000:
+    if fanout is None:
         # Reference guidance scaled to the tiled layout: larger groups at
-        # very large scale keep the routing table (and its matmul) small
-        fanout, tile = 384, 512
+        # very large scale keep the routing table (and its matmul) small.
+        # An explicit --fanout always wins over this auto-tune.
+        fanout, tile = (384, 512) if total_rows > 2_000_000 else (192, None)
+        console.print(
+            f"Auto-tuned fanout={fanout}"
+            + (f", tile={tile}" if tile is not None else "")
+            + f" for {total_rows} rows"
+        )
 
     tree: BatchTree | None = None
     offset = 0

@@ -34,7 +34,8 @@
 #include <vector>
 #include <limits>
 
-#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+#if defined(__x86_64__) && defined(__GNUC__)
+#define BB_X86_DISPATCH 1
 #include <immintrin.h>
 #endif
 
@@ -42,6 +43,12 @@ namespace {
 
 // ---------------------------------------------------------------------------
 // Popcount helpers
+//
+// Built for a portable baseline (-march=x86-64-v2, see Makefile); the
+// AVX-512 VPOPCNTDQ fast paths are compiled via per-function target
+// attributes and selected at RUN TIME with __builtin_cpu_supports, so the
+// same .so runs on hosts without the extension (pre-Zen4 AMD, pre-Ice-Lake
+// Intel client) instead of hitting SIGILL at call time.
 // ---------------------------------------------------------------------------
 
 inline uint64_t load_u64(const uint8_t* p) {
@@ -50,10 +57,36 @@ inline uint64_t load_u64(const uint8_t* p) {
     return v;
 }
 
-#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+inline int64_t popcount_bytes_scalar(const uint8_t* p, int64_t n_bytes) {
+    int64_t total = 0;
+    int64_t i = 0;
+    for (; i + 8 <= n_bytes; i += 8) {
+        total += __builtin_popcountll(load_u64(p + i));
+    }
+    for (; i < n_bytes; ++i) {
+        total += __builtin_popcount(p[i]);
+    }
+    return total;
+}
+
+inline int64_t and_popcount_bytes_scalar(const uint8_t* a, const uint8_t* b,
+                                         int64_t n_bytes) {
+    int64_t total = 0;
+    int64_t i = 0;
+    for (; i + 8 <= n_bytes; i += 8) {
+        total += __builtin_popcountll(load_u64(a + i) & load_u64(b + i));
+    }
+    for (; i < n_bytes; ++i) {
+        total += __builtin_popcount(a[i] & b[i]);
+    }
+    return total;
+}
+
+#ifdef BB_X86_DISPATCH
 // 64 bytes per iteration through the AVX-512 VPOPCNTQ unit.  Unaligned
 // loads are fine (loadu); the 8-byte scalar tail handles any remainder.
-inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
+__attribute__((target("avx512f,avx512vpopcntdq")))
+int64_t popcount_bytes_avx512(const uint8_t* p, int64_t n_bytes) {
     __m512i acc = _mm512_setzero_si512();
     int64_t i = 0;
     for (; i + 64 <= n_bytes; i += 64) {
@@ -70,7 +103,8 @@ inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
     return total;
 }
 
-inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
+__attribute__((target("avx512f,avx512vpopcntdq")))
+int64_t and_popcount_bytes_avx512(const uint8_t* a, const uint8_t* b,
                                   int64_t n_bytes) {
     __m512i acc = _mm512_setzero_si512();
     int64_t i = 0;
@@ -88,30 +122,31 @@ inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
     }
     return total;
 }
-#else
+
+inline bool has_vpopcntdq() {
+    static const bool ok = __builtin_cpu_supports("avx512f") &&
+                           __builtin_cpu_supports("avx512vpopcntdq");
+    return ok;
+}
+
 inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
-    int64_t total = 0;
-    int64_t i = 0;
-    for (; i + 8 <= n_bytes; i += 8) {
-        total += __builtin_popcountll(load_u64(p + i));
-    }
-    for (; i < n_bytes; ++i) {
-        total += __builtin_popcount(p[i]);
-    }
-    return total;
+    if (has_vpopcntdq()) return popcount_bytes_avx512(p, n_bytes);
+    return popcount_bytes_scalar(p, n_bytes);
 }
 
 inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
                                   int64_t n_bytes) {
-    int64_t total = 0;
-    int64_t i = 0;
-    for (; i + 8 <= n_bytes; i += 8) {
-        total += __builtin_popcountll(load_u64(a + i) & load_u64(b + i));
-    }
-    for (; i < n_bytes; ++i) {
-        total += __builtin_popcount(a[i] & b[i]);
-    }
-    return total;
+    if (has_vpopcntdq()) return and_popcount_bytes_avx512(a, b, n_bytes);
+    return and_popcount_bytes_scalar(a, b, n_bytes);
+}
+#else
+inline int64_t popcount_bytes(const uint8_t* p, int64_t n_bytes) {
+    return popcount_bytes_scalar(p, n_bytes);
+}
+
+inline int64_t and_popcount_bytes(const uint8_t* a, const uint8_t* b,
+                                  int64_t n_bytes) {
+    return and_popcount_bytes_scalar(a, b, n_bytes);
 }
 #endif
 

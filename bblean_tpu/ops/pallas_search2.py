@@ -312,22 +312,44 @@ def tile_search_sorted(
 
 @functools.lru_cache(maxsize=1)
 def sorted_search_supported() -> bool:
-    r"""Probe whether the sorted Pallas search compiles + runs here."""
+    r"""Probe whether the sorted Pallas search compiles + runs CORRECTLY here.
+
+    Runs a small non-trivial case (random rows, 3 part-filled tiles, mixed
+    pending mask) and compares sims and slots against the XLA reference
+    search — a backend where the kernel compiles but miscomputes must fall
+    back rather than silently corrupt search results.
+    """
     if not _HAS_PLTPU:
         return False
     import numpy as np
 
+    from bblean_tpu.engine.batch import _search_tiles
+
+    rng = np.random.default_rng(7)
+    m, f8, g, fc = 64, 128, 4, 128
+    row_pk = jnp.asarray(rng.integers(0, 256, (m, f8), dtype=np.uint8))
+    row_pop = jnp.asarray(
+        np.unpackbits(np.asarray(row_pk), axis=-1).sum(-1).astype(np.int32)
+    )
+    row_group = jnp.asarray(rng.integers(0, g - 1, (m,), dtype=np.int32))
+    t_pk = np.zeros((g, fc, f8), np.uint8)
+    t_slot = np.full((g, fc), -1, np.int32)
+    fill = 9  # part-filled tiles; the last group is the empty guard
+    t_pk[: g - 1, :fill] = rng.integers(0, 256, (g - 1, fill, f8), np.uint8)
+    t_slot[: g - 1, :fill] = np.arange((g - 1) * fill).reshape(g - 1, fill)
+    t_pops = np.unpackbits(t_pk, axis=-1).sum(-1).astype(np.int32)
+    pending = jnp.asarray(rng.random(m) < 0.8)
+    args = (
+        row_pk, row_pop, row_group, jnp.asarray(t_pk),
+        jnp.asarray(t_pops), jnp.asarray(t_slot), pending,
+    )
     try:
-        out = tile_search_sorted(
-            jnp.zeros((64, 128), jnp.uint8),
-            jnp.zeros((64,), jnp.int32),
-            jnp.zeros((64,), jnp.int32),
-            jnp.zeros((2, 128, 128), jnp.uint8),
-            jnp.zeros((2, 128), jnp.int32),
-            jnp.full((2, 128), -1, jnp.int32),
-            jnp.ones((64,), bool),
-        )
-        jax.block_until_ready(out)
-        return bool(np.all(np.asarray(out[0]) == _NEG))
+        sim, slot = tile_search_sorted(*args, guard_group=g - 1)
+        jax.block_until_ready((sim, slot))
     except Exception:
         return False
+    ref_sim, ref_slot = _search_tiles(*args)
+    return bool(
+        np.allclose(np.asarray(sim), np.asarray(ref_sim), atol=1e-6)
+        and np.array_equal(np.asarray(slot), np.asarray(ref_slot))
+    )

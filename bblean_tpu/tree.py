@@ -782,10 +782,17 @@ class BitBirch:
             centrals = unpack_fingerprints(centrals, n_features)
         num_centrals = len(centrals)
         if num_centrals < n_clusters:
+            # The reference emits sklearn's ConvergenceWarning here
+            # (``bblean/bitbirch.py:1409``); keep that category for callers
+            # that filter on it, falling back only on the sklearn-free path
+            try:
+                from sklearn.exceptions import ConvergenceWarning as _ConvWarn
+            except ImportError:  # kmeans-tpu works without sklearn
+                _ConvWarn = UserWarning  # type: ignore[assignment,misc]
             warnings.warn(
                 f"Number of subclusters found ({num_centrals}) by BitBIRCH is"
                 f" less than ({n_clusters}). Decrease k or the threshold.",
-                UserWarning,
+                _ConvWarn,
                 stacklevel=2,
             )
             n_clusters = num_centrals

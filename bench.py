@@ -81,6 +81,11 @@ def main() -> None:
         dev_fps, threshold=0.65, capacity=1 << 20, ls_capacity=1 << 16
     )
 
+    from bblean_tpu._memory import device_memory_stats
+
+    hbm = device_memory_stats() or {}
+    hbm_peak_gib = round(hbm.get("peak_bytes_in_use", 0) / 2**30, 2)
+
     print(
         json.dumps(
             {
@@ -97,6 +102,7 @@ def main() -> None:
                 "t0.65_vs_baseline": round(rate65 / BASELINE_FPS_PER_S, 2),
                 "t0.65_wall_s": round(dt65, 2),
                 "t0.65_n_clusters": int(num65),
+                "hbm_peak_gib": hbm_peak_gib,
             }
         )
     )

@@ -89,6 +89,22 @@ def main() -> None:
     assert sizes.sum() == n and sum(len(m) for m in mols) == n
     print(f"extraction: {time.perf_counter() - t0:.1f}s")
 
+    from bblean_tpu._memory import device_memory_stats
+
+    hbm = device_memory_stats() or {}
+    peak = hbm.get("peak_bytes_in_use")
+    if peak is not None:
+        print(f"HBM peak: {peak / 2**30:.2f} GiB")
+        # Machine-check of the docs/tpu-memory.md budget: the 10M configs
+        # must stay within a 16 GiB chip with headroom (tiles ~8.6 GiB at
+        # t=0.65, tables ~5 GiB + 2.6 GiB staged input at t=0.3)
+        budget_gib = 14.0
+        if n_m <= 10 and peak / 2**30 > budget_gib:
+            raise SystemExit(
+                f"HBM regression: peak {peak / 2**30:.2f} GiB exceeds the "
+                f"{budget_gib} GiB budget for the {n_m}M config"
+            )
+
 
 if __name__ == "__main__":
     main()

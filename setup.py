@@ -23,7 +23,9 @@ ROOT = Path(__file__).parent
 SRC = ROOT / "bblean_tpu" / "csrc" / "bblean_native.cpp"
 OUT = ROOT / "bblean_tpu" / "csrc" / "build" / "libbblean_native.so"
 
-DEFAULT_FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
+# Portable baseline; AVX-512 fast paths use per-function target attributes
+# with runtime __builtin_cpu_supports dispatch (see csrc/bblean_native.cpp)
+DEFAULT_FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=x86-64-v2",
                  "-funroll-loops"]
 
 
