@@ -147,7 +147,7 @@ def tsne_plot(
             n_components=min(pca_reduce, len(fps) - 1), random_state=TSNE_SEED
         ).fit_transform(fps)
     perplexity = min(perplexity, max((len(fps) - 1) / 3, 2))
-    try:  # pragma: no cover - depends on environment
+    try:
         from openTSNE import TSNE as OpenTSNE
         from openTSNE.affinity import Multiscale
 
@@ -195,7 +195,7 @@ def umap_plot(
     analysis: ClusterAnalysis, output: Path | str | None = None
 ) -> tp.Any:
     r"""2-D UMAP embedding of the top clusters (requires umap-learn)."""
-    try:  # pragma: no cover - depends on environment
+    try:
         import umap
     except ImportError as e:
         raise ImportError(

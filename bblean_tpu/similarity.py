@@ -47,9 +47,9 @@ __all__ = [
     "estimate_jt_std",
 ]
 
-_NO_NATIVE = bool(
-    os.getenv("BBLEAN_TPU_NO_EXTENSIONS") or os.getenv("BITBIRCH_NO_EXTENSIONS")
-)
+from bblean_tpu.utils import extensions_disabled_by_env
+
+_NO_NATIVE = extensions_disabled_by_env()
 
 _native_loaded = False
 if not _NO_NATIVE:

@@ -53,11 +53,9 @@ _UNPACK_CHUNK = 4096
 
 
 def _native_engine_enabled() -> bool:
-    import os
+    from bblean_tpu.utils import extensions_disabled_by_env
 
-    if os.getenv("BBLEAN_TPU_NO_EXTENSIONS") or os.getenv(
-        "BITBIRCH_NO_EXTENSIONS"
-    ):
+    if extensions_disabled_by_env():
         return False
     try:
         from bblean_tpu.engine.native import native_engine_available

@@ -105,9 +105,19 @@ def _has_files_or_valid_symlinks(path: Path) -> bool:
     return has_files
 
 
+def extensions_disabled_by_env() -> bool:
+    r"""True when the native-extension kill switch is set (and not set to a
+    false-y value: ``BBLEAN_TPU_NO_EXTENSIONS=0`` means *enabled*)."""
+    off = ("", "0", "false", "False")
+    return (
+        os.getenv("BBLEAN_TPU_NO_EXTENSIONS", "") not in off
+        or os.getenv("BITBIRCH_NO_EXTENSIONS", "") not in off
+    )
+
+
 def native_extensions_are_enabled() -> bool:
     r"""Whether the native (C++) host engine is importable and not disabled."""
-    if os.getenv("BBLEAN_TPU_NO_EXTENSIONS") or os.getenv("BITBIRCH_NO_EXTENSIONS"):
+    if extensions_disabled_by_env():
         return False
     return native_extensions_are_installed()
 

@@ -283,3 +283,44 @@ def test_default_capacities_scale_sanely() -> None:
     small = BatchTree(2048, initial_capacity=8192, batch_size=1024)
     assert small.g_capacity >= 2 * 1024 + 2
     assert small.ls_capacity >= 2 * 1024 + 1
+
+
+def _first_occurrence_canon(labels: np.ndarray) -> np.ndarray:
+    r"""Renumber labels by first occurrence (partition + creation order)."""
+    seen: dict = {}
+    out = np.empty(len(labels), np.int64)
+    for i, lab in enumerate(labels):
+        out[i] = seen.setdefault(int(lab), len(seen))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.65])
+def test_serial_limit_bit_identical_to_exact(threshold) -> None:
+    r"""batch_size=1 with no splits IS the serial algorithm: with one
+    routing group the in-tile argmax equals the exact engine's flat-leaf
+    argmax (huge branching factor), so labels must agree bit-for-bit —
+    the device path converges to serial in the limit (VERDICT item 8)."""
+    fps = make_fake_fingerprints(384, seed=SEED)
+
+    exact = BitBirch(
+        threshold=threshold, branching_factor=1_000_000
+    ).fit(fps)
+    exact_labels = np.asarray(
+        exact.get_assignments(sort=False, check_valid=True), np.int64
+    )
+
+    tree = BatchTree(
+        2048,
+        threshold=threshold,
+        batch_size=1,
+        fanout=1000,
+        tile=1024,
+        max_rounds=8,
+    )
+    tree.fit_packed(fps, range(len(fps)))
+    batch_labels = tree.assignments()
+
+    assert np.array_equal(
+        _first_occurrence_canon(exact_labels),
+        _first_occurrence_canon(batch_labels),
+    )

@@ -107,3 +107,72 @@ def test_umap_plot_smoke_with_stub(analysis, tmp_path, monkeypatch) -> None:
     out = tmp_path / "umap.png"
     umap_plot(analysis, output=out)
     assert out.exists() and out.stat().st_size > 0
+
+
+def _install_opentsne_stub(monkeypatch) -> None:
+    r"""Minimal openTSNE surface: TSNE with .fit, a parent-class .fit used
+    by the multiscale path via super(), and affinity.Multiscale."""
+
+    class _BaseTSNE:
+        def fit(self, x, affinities=None, initialization=None):
+            rng = np.random.default_rng(1)
+            return rng.normal(size=(len(x), 2)).astype(np.float32)
+
+    class _StubTSNE(_BaseTSNE):
+        def __init__(
+            self,
+            n_components=2,
+            perplexity=30.0,
+            random_state=None,
+            dof=1.0,
+            exaggeration=None,
+            negative_gradient_method="fft",
+            initialization="pca",
+        ):
+            assert n_components == 2
+            self.perplexity = perplexity
+
+        def fit(self, x):
+            rng = np.random.default_rng(2)
+            return rng.normal(size=(len(x), 2)).astype(np.float32)
+
+    class _StubMultiscale:
+        def __init__(self, data=None, perplexities=None, random_state=None):
+            self.perplexities = perplexities
+
+    mod = types.ModuleType("openTSNE")
+    mod.TSNE = _StubTSNE
+    aff = types.ModuleType("openTSNE.affinity")
+    aff.Multiscale = _StubMultiscale
+    mod.affinity = aff
+    monkeypatch.setitem(sys.modules, "openTSNE", mod)
+    monkeypatch.setitem(sys.modules, "openTSNE.affinity", aff)
+
+
+def test_tsne_plot_opentsne_branch_with_stub(
+    analysis, tmp_path, monkeypatch
+) -> None:
+    r"""The openTSNE-preferred branch executes when the package imports."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _install_opentsne_stub(monkeypatch)
+    from bblean_tpu.plotting import tsne_plot
+
+    out = tmp_path / "tsne-ot.png"
+    tsne_plot(analysis, output=out, perplexity=10)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_tsne_plot_opentsne_multiscale_with_stub(
+    analysis, tmp_path, monkeypatch
+) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _install_opentsne_stub(monkeypatch)
+    from bblean_tpu.plotting import tsne_plot
+
+    out = tmp_path / "tsne-ot-ms.png"
+    tsne_plot(analysis, output=out, perplexity=10, multiscale=True)
+    assert out.exists() and out.stat().st_size > 0
