@@ -283,60 +283,83 @@ def _run_sharded_engine(
     from bblean_tpu._jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    import jax
 
-    from bblean_tpu.parallel import get_mesh, sharded_fit
-
-    parts = []
-    for file in input_files:
-        fps = np.load(file, mmap_mode="r")[:max_fps]
-        parts.append(np.asarray(fps, dtype=np.uint8))
-    all_fps = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    from bblean_tpu.fingerprints import _get_fps_file_num, pack_fingerprints
+    from bblean_tpu.parallel import ShardedForest, get_mesh
 
     mesh = get_mesh()
     console.print(f"Sharding over {mesh.devices.size} device(s)")
-    feats = n_features if n_features is not None else (
-        all_fps.shape[1] * 8 if input_is_packed else all_fps.shape[1]
-    )
+
+    # Stream file-by-file through the forest: windows are materialized from
+    # the memmap one at a time, so host RSS stays bounded at any input size
+    total_rows = 0
+    for file in input_files:
+        n = _get_fps_file_num(file)
+        total_rows += min(n, max_fps) if max_fps is not None else n
+
+    forest: ShardedForest | None = None
+    timer.init_timing("fit")
     with console.status("[italic]BitBirching (SPMD)...[/italic]", spinner="dots"):
-        result = sharded_fit(
-            all_fps,
-            mesh,
-            input_is_packed=input_is_packed,
-            n_features=feats,
-            threshold=threshold,
-            merge_criterion=merge_criterion,
-            tolerance=tolerance,
-            merge_criterion_merge=refine_merge_criterion,
-            merge_threshold_change=refine_threshold_change,
-            batch_size=batch_size,
-        )
+        for file in input_files:
+            fps = np.load(file, mmap_mode="r")[:max_fps]
+            if not input_is_packed:
+                fps = pack_fingerprints(np.asarray(fps, dtype=np.uint8))
+            if forest is None:
+                feats = n_features if n_features is not None else fps.shape[1] * 8
+                forest = ShardedForest(
+                    feats,
+                    mesh,
+                    threshold=threshold,
+                    merge_criterion=merge_criterion,
+                    tolerance=tolerance,
+                    merge_criterion_merge=refine_merge_criterion,
+                    merge_threshold_change=refine_threshold_change,
+                    batch_size=batch_size,
+                    initial_capacity=max(
+                        8192,
+                        min(
+                            total_rows + batch_size + 1,
+                            (total_rows // mesh.devices.size) * 2
+                            + 2 * batch_size,
+                        ),
+                    ),
+                )
+            forest.fit_packed(fps)
+    assert forest is not None
+    timer.end_timing("fit", console)
+    timer.init_timing("merge")
+    with console.status("[italic]Merging shards...[/italic]", spinner="dots"):
+        forest.merge()
+    timer.end_timing("merge", console)
+
+    labels = forest.labels()
+    sizes = forest.cluster_sizes()
+    num_clusters = forest.num_clusters
     # Clusters sorted by size desc (stable), like the other engines
-    order = np.argsort(-result.sizes, kind="stable")
-    mols_by_cluster: list[list[int]] = [[] for _ in range(result.num_clusters)]
-    sort_idx = np.argsort(result.labels, kind="stable")
+    order = np.argsort(-sizes, kind="stable")
+    sort_idx = np.argsort(labels, kind="stable")
     bounds = np.searchsorted(
-        result.labels[sort_idx], np.arange(result.num_clusters + 1)
-    )
-    for i in range(result.num_clusters):
-        mols_by_cluster[i] = sort_idx[bounds[i] : bounds[i + 1]].tolist()
+        labels[sort_idx], np.arange(num_clusters + 1)
+    ).tolist()
+    flat = sort_idx.tolist()
+    inv = [flat[bounds[i] : bounds[i + 1]] for i in order]
     with open(out_dir / "clusters.pkl", "wb") as f:
-        pickle.dump([mols_by_cluster[i] for i in order], f)
+        pickle.dump(inv, f)
     if save_centroids:
         from bblean_tpu._np_similarity import centroid_from_sum
 
+        linear_sums = forest.linear_sums()
         cents = [
             centroid_from_sum(
-                result.linear_sums[i].astype(np.uint64),
-                int(result.sizes[i]),
-                pack=True,
+                linear_sums[i].astype(np.uint64), int(sizes[i]), pack=True
             )
             for i in order
         ]
         with open(out_dir / "cluster-centroids-packed.pkl", "wb") as f:
             pickle.dump(cents, f)
-    config["n_clusters"] = int(result.num_clusters)
+    config["n_clusters"] = int(num_clusters)
     config["n_devices"] = int(mesh.devices.size)
+    config["device_table_bytes_per_device"] = forest.state_bytes_per_device()
 
 
 def _run_batch_engine(

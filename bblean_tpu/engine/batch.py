@@ -844,15 +844,11 @@ _batch_step = functools.partial(
 )(_batch_step_impl)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("k", "fanout")
-)
-def _split_topk_device(
+def _split_topk_impl(
     state: BatchState, *, k: int, fanout: int
 ) -> tuple[BatchState, Array]:
-    r"""Select the K most-populated groups ON DEVICE and split the oversized
-    ones — one dispatch, no host pulls (a host-side selection costs a full
-    pipeline sync per boundary through the TPU tunnel).
+    r"""Select the K most-populated groups and split the oversized ones
+    (pure device math — reused inside the fused batch scan).
 
     Returns (state, number of oversized groups remaining).
     """
@@ -864,6 +860,18 @@ def _split_topk_device(
     n_over = jnp.sum((counts > fanout).astype(jnp.int32))
     state = _split_groups_device_impl(state, gs.astype(jnp.int32), active)
     return state, n_over - jnp.sum(active.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("k", "fanout")
+)
+def _split_topk_device(
+    state: BatchState, *, k: int, fanout: int
+) -> tuple[BatchState, Array]:
+    r"""Jitted ``_split_topk_impl`` — one dispatch, no host pulls (a
+    host-side selection costs a full pipeline sync per boundary through the
+    TPU tunnel)."""
+    return _split_topk_impl(state, k=k, fanout=fanout)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1024,6 +1032,68 @@ def _split_groups_device_impl(
     )
 
 
+def _scan_fit_packed_impl(
+    state: BatchState,
+    dev_fps: Array,  # (R, F8) uint8 HBM-resident, R % m == 0, R >= start+k*m
+    start: Array,  # () int32 row offset of the first batch
+    n_valid: Array,  # () int32 valid rows from ``start`` (rest = padding)
+    threshold: Array,
+    tolerance: Array,
+    *,
+    k: int,
+    m: int,
+    n_features: int,
+    criterion: str,
+    block: int,
+    max_rounds: int,
+    use_pallas: bool,
+    narrow: int,
+    split_k: int,
+    fanout: int,
+) -> tuple[BatchState, Array, Array]:
+    r"""Insert ``k`` consecutive batches of ``m`` rows in ONE dispatch.
+
+    The host control plane's per-batch work (slice+prep dispatch, step
+    dispatch, split dispatch) collapses into a single ``lax.scan`` program:
+    body = slice+unpack -> batch step -> top-K split pass.  This is what
+    makes throughput independent of host load — on a busy 1-core host the
+    per-batch python driver starves the device (the round-2 driver bench
+    measured 56k fps/s against 131k quiet), while one dispatch per k*m rows
+    leaves the host only the enc pull at each flush boundary.
+
+    Returns (state, assigned (k, m), encs (k,)).  Trailing all-padding
+    batches exit their round loop immediately (cheap).
+    """
+
+    def body(state, i):
+        rows = _slice_prep_fp_rows_impl(
+            dev_fps, start + i * m,
+            jnp.clip(n_valid - i * m, 0, m), m, n_features,
+        )
+        state, assigned, enc = _batch_step_impl(
+            state, *rows, threshold, tolerance, criterion=criterion,
+            block=block, max_rounds=max_rounds, use_pallas=use_pallas,
+            narrow=narrow,
+        )
+        state, _ = _split_topk_impl(state, k=split_k, fanout=fanout)
+        return state, (assigned, enc)
+
+    state, (assigned, encs) = lax.scan(
+        body, state, jnp.arange(k, dtype=jnp.int32)
+    )
+    return state, assigned, encs
+
+
+_scan_fit_packed = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m", "n_features", "criterion", "block", "max_rounds",
+        "use_pallas", "narrow", "split_k", "fanout",
+    ),
+    donate_argnums=(0,),
+)(_scan_fit_packed_impl)
+
+
 @jax.jit
 def _max_group_count(state: BatchState) -> Array:
     r"""Scalar pre-check for the split pass (one cheap device->host pull)."""
@@ -1040,8 +1110,7 @@ def _reconstruct_ls_chunk(
     return _cluster_ls_of(state, slots, n_features)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n_features"))
-def _slice_prep_fp_rows(
+def _slice_prep_fp_rows_impl(
     dev_fps: Array, start: Array, n_valid: Array, m: int, n_features: int
 ):
     r"""Fused dynamic-slice + unpack + CF-row prep for HBM-resident fps.
@@ -1060,6 +1129,11 @@ def _slice_prep_fp_rows(
     row_pk = jnp.where(valid[:, None], packed, 0)
     row_pop = jnp.sum(row_ls, axis=-1)
     return row_ls, row_n, row_cent, row_pk, row_pop
+
+
+_slice_prep_fp_rows = functools.partial(
+    jax.jit, static_argnames=("m", "n_features")
+)(_slice_prep_fp_rows_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("n_features",))
@@ -1177,6 +1251,10 @@ class BatchTree:
         # lose at t=0.3 (longer stalls when a retry IS needed)
         self.split_interval = 8
         self.split_k = 64  # oversized groups split per device dispatch
+        # Batches fused into one scan dispatch by fit_packed.  The scan body
+        # runs a split pass per batch, so a window is self-contained the way
+        # a split_interval segment of single-batch dispatches used to be.
+        self.scan_batches = 8
         self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
@@ -1194,21 +1272,37 @@ class BatchTree:
         self._g_upper = g_num
         return g_num
 
-    def _ensure_capacity(self, incoming: int) -> None:
+    def _ensure_capacity(
+        self,
+        incoming: int,
+        g_incoming: int | None = None,
+        p_incoming: int | None = None,
+    ) -> None:
         r"""Grow tables if needed, using host-side upper bounds to avoid a
         device sync per batch (each round-trip costs ~10s of ms through the
-        TPU tunnel); exact counts are pulled only near the capacity edge."""
+        TPU tunnel); exact counts are pulled only near the capacity edge.
+
+        ``g_incoming``/``p_incoming`` bound the group/pool-row creations of
+        the next dispatch separately from the cluster creations — groups
+        cost ``tile * F/8`` tile bytes each, so sizing the group table for
+        a cluster-level worst case (every row a fresh group) would waste
+        GiBs of HBM.  Underestimates are safe: the step's in-table guards
+        leave unplaceable rows pending and the flush boundary grows+retries.
+        """
+        if g_incoming is None:
+            g_incoming = incoming
+        if p_incoming is None:
+            p_incoming = incoming
         # +1: the top slot of each table is a scatter guard and stays free.
-        # Groups need headroom for in-step overflow creations (<= incoming)
         if self._num_upper + incoming + 1 > self.capacity:
             self._num_upper = int(self.state.num)  # sync the true count
-        if self._g_upper + incoming + 1 > self.g_capacity:
+        if self._g_upper + g_incoming + 1 > self.g_capacity:
             self._g_upper = int(self.state.g_num)
-        if self._ls_upper + incoming + 1 > self.ls_capacity:
+        if self._ls_upper + p_incoming + 1 > self.ls_capacity:
             self._ls_upper = int(self.state.num_ls)
         need_c = self._num_upper + incoming + 1
-        need_g = self._g_upper + incoming + 1
-        need_p = self._ls_upper + incoming + 1
+        need_g = self._g_upper + g_incoming + 1
+        need_p = self._ls_upper + p_incoming + 1
         new_c, new_g = self.capacity, self.g_capacity
         new_p = self.ls_capacity
         while new_c < need_c:
@@ -1233,54 +1327,96 @@ class BatchTree:
     ) -> None:
         r"""Insert packed fingerprints — the fast path for large datasets.
 
-        Device-resident inputs are sliced in HBM (one fused jitted
-        slice+prep dispatch per batch); host arrays are uploaded chunk-by-
-        chunk one batch ahead so transfers overlap the insert rounds.
+        Inserts run as fused SCAN WINDOWS of ``scan_batches`` batches: one
+        jitted dispatch covers slice+unpack, the insert rounds and the
+        split pass for every batch in the window, so the host's only
+        per-window work is bookkeeping plus one enc pull at the (pipelined)
+        flush boundary — throughput no longer depends on host load.
+
+        Device-resident inputs are sliced in HBM; host arrays are uploaded
+        window-by-window one window ahead so transfers overlap the scans.
         """
         num = len(packed_fps)
-        # Singleton rows: store mol ids as one flat array per batch instead
+        # Singleton rows: store mol ids as one flat array per window instead
         # of N one-element python lists (which cost seconds at 500k+ scale)
         mol_arr = np.fromiter(mol_indices, dtype=np.int64, count=num)
         m = self.batch_size
+        k = self.scan_batches
+        window = k * m
         on_device = isinstance(packed_fps, jax.Array)
         if on_device and num % m:
-            # Pad once so every fused slice is full (alignment of the last
-            # partial batch)
+            # Pad once so every fused slice is full; windows whose trailing
+            # batches fall past the end read clamped (masked-invalid) rows
             packed_fps = jnp.pad(packed_fps, ((0, m - num % m), (0, 0)))
         if not on_device and not isinstance(packed_fps, np.ndarray):
             packed_fps = np.asarray(packed_fps)
 
         def upload(start: int) -> Array | None:
-            stop = min(start + m, num)
+            stop = min(start + window, num)
             if stop <= start:
                 return None
             chunk = packed_fps[start:stop]
-            if stop - start < m:
-                chunk = np.pad(chunk, ((0, m - (stop - start)), (0, 0)))
+            if stop - start < window:
+                chunk = np.pad(chunk, ((0, window - (stop - start)), (0, 0)))
             return jax.device_put(np.ascontiguousarray(chunk))
 
         next_chunk = None if on_device else upload(0)
-        for start in range(0, num, m):
-            stop = min(start + m, num)
+        for start in range(0, num, window):
+            stop = min(start + window, num)
             n_valid = stop - start
             if on_device:
-                # One dispatch: dynamic slice + unpack + row prep (a python
-                # `arr[start:stop]` would compile a new program per offset)
-                rows = _slice_prep_fp_rows(
-                    packed_fps, start, n_valid, m, self.n_features
-                )
+                dev_buf, dev_start = packed_fps, start
             else:
-                chunk = next_chunk
-                next_chunk = upload(start + m)  # async prefetch
-                valid = np.zeros(m, bool)
-                valid[:n_valid] = True
-                rows = _prep_fp_rows(
-                    chunk, jnp.asarray(valid), self.n_features
-                )
-            host_valid = np.zeros(m, bool)
-            host_valid[:n_valid] = True
-            self._submit_batch(rows, mol_arr[start:stop], host_valid)
+                dev_buf, dev_start = next_chunk, 0
+                next_chunk = upload(start + window)  # async prefetch
+            self._submit_scan(
+                dev_buf, dev_start, n_valid, mol_arr[start:stop]
+            )
         self.flush()
+
+    def _submit_scan(
+        self,
+        dev_fps: Array,
+        start_row: int,
+        n_valid: int,
+        mols: np.ndarray,
+    ) -> None:
+        r"""Dispatch one fused k-batch scan window without a device sync."""
+        m, k = self.batch_size, self.scan_batches
+        self._ensure_capacity(
+            k * m,
+            g_incoming=2 * k * (self.split_k + 4 * (m // self.tile + 4)),
+            p_incoming=k * m,
+        )
+        self.state, assigned, encs = _scan_fit_packed(
+            self.state, dev_fps, jnp.int32(start_row), jnp.int32(n_valid),
+            jnp.float32(self.threshold), jnp.float32(self.tolerance),
+            k=k, m=m, n_features=self.n_features,
+            criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds, use_pallas=self.use_pallas_search,
+            narrow=m // 4, split_k=self.split_k, fanout=self.fanout,
+        )
+        self._num_upper += n_valid
+        self._ls_upper += n_valid
+        self._g_upper += k * self.split_k + max(
+            16, 4 * (n_valid // self.tile + 1)
+        )
+        self._row_slots.append((assigned.reshape(-1), n_valid))
+        self._row_mols.append(mols)
+        self._boundary_queue.append(
+            {
+                "kind": "scan",
+                "slot_idx": len(self._row_slots) - 1,
+                "dev_fps": dev_fps,
+                "start": start_row,
+                "n_valid": n_valid,
+                "enc": encs,
+            }
+        )
+        # Keep one window in flight: flushing at depth 2 pulls window w-1's
+        # encs while window w computes, so the host never idles the device
+        if len(self._boundary_queue) >= 2:
+            self.flush()
 
     def insert_fps(
         self, unpacked_fps: np.ndarray, mol_indices: tp.Sequence[int]
@@ -1366,11 +1502,19 @@ class BatchTree:
         r"""Process the deferred boundary: pending retries + split pass."""
         queue, self._boundary_queue = self._boundary_queue, []
         if queue:
-            encs = np.asarray(jnp.stack([q["enc"] for q in queue]))
-            pendings = encs // 1000  # enc = pending * 1000 + rounds
-            for q, pending in zip(queue, pendings):
-                if pending > 0:
-                    self._retry_batch(q)
+            flat = np.asarray(  # one device pull for every queued enc
+                jnp.concatenate([jnp.atleast_1d(q["enc"]) for q in queue])
+            )
+            offset = 0
+            for q in queue:
+                size = 1 if np.ndim(q["enc"]) == 0 else q["enc"].shape[0]
+                pending = flat[offset : offset + size] // 1000
+                offset += size
+                if (pending > 0).any():
+                    if q.get("kind") == "scan":
+                        self._retry_scan(q, pending)
+                    else:
+                        self._retry_batch(q)
         self._split_oversized_groups()
 
     def _retry_batch(self, q: dict) -> None:
@@ -1404,6 +1548,56 @@ class BatchTree:
         else:
             raise RuntimeError("batch engine failed to drain a batch")
         self._row_slots[q["slot_idx"]] = (final_assigned, count)
+
+    def _retry_scan(self, q: dict, pending_per_batch: np.ndarray) -> None:
+        r"""Drain a scan window some of whose batches exhausted max_rounds
+        (rare): split, rebuild each pending batch's rows from the staged
+        fps, mask the already-assigned rows and re-step until done."""
+        m, k = self.batch_size, self.scan_batches
+        assigned_dev, n_valid = self._row_slots[q["slot_idx"]]
+        final = np.array(np.asarray(assigned_dev))
+        valid = np.zeros(k * m, bool)
+        valid[:n_valid] = True
+        for i in range(k):
+            if pending_per_batch[i] <= 0:
+                continue
+            seg = slice(i * m, (i + 1) * m)
+            seg_final = final[seg]
+            seg_valid = valid[seg]
+            for _attempt in range(64):
+                missing = (seg_final == -1) & seg_valid
+                if not missing.any():
+                    break
+                self._split_oversized_groups(drain=True)
+                rows = _slice_prep_fp_rows(
+                    q["dev_fps"],
+                    q["start"] + i * m,
+                    max(0, min(m, q["n_valid"] - i * m)),
+                    m,
+                    self.n_features,
+                )
+                row_ls, row_n, row_cent, row_pk, row_pop = rows
+                row_n = jnp.where(jnp.asarray(missing), row_n, 0)
+                self._ensure_capacity(m)
+                self.state, assigned, _enc = _batch_step(
+                    self.state, row_ls, row_n, row_cent, row_pk, row_pop,
+                    jnp.float32(self.threshold),
+                    jnp.float32(self.tolerance),
+                    criterion=self.merge_criterion, block=self.route_block,
+                    max_rounds=self.max_rounds,
+                    use_pallas=self.use_pallas_search,
+                    narrow=self.batch_size // 4,
+                )
+                n_miss = int(missing.sum())
+                self._num_upper += n_miss
+                self._g_upper += n_miss
+                self._ls_upper += n_miss
+                assigned_np = np.asarray(assigned)
+                seg_final[missing] = assigned_np[missing]
+            else:
+                raise RuntimeError("batch engine failed to drain a window")
+            final[seg] = seg_final
+        self._row_slots[q["slot_idx"]] = (final, n_valid)
 
     # -- host control plane: group splits ------------------------------------
 
@@ -1584,16 +1778,20 @@ class BatchTree:
         return out
 
     def _materialize_slots(self) -> None:
-        r"""Pull any deferred device-side assignment vectors in one batch."""
+        r"""Pull any deferred device-side assignment vectors in one batch
+        (per length: scan windows and single batches stack separately)."""
         device_idx = [
             i for i, s in enumerate(self._row_slots)
             if not isinstance(s[0] if isinstance(s, tuple) else s, np.ndarray)
         ]
-        if device_idx:
+        by_len: dict[int, list[int]] = {}
+        for i in device_idx:
+            by_len.setdefault(int(self._row_slots[i][0].shape[0]), []).append(i)
+        for idxs in by_len.values():
             stacked = np.asarray(
-                jnp.stack([self._row_slots[i][0] for i in device_idx])
+                jnp.stack([self._row_slots[i][0] for i in idxs])
             )
-            for row, i in enumerate(device_idx):
+            for row, i in enumerate(idxs):
                 _, count = self._row_slots[i]
                 self._row_slots[i] = (stacked[row], count)
         self._row_slots = [

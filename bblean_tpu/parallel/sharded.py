@@ -1,28 +1,47 @@
-r"""SPMD sharded clustering: per-device tree builds + ICI tree-reduction merge.
+r"""SPMD sharded clustering on the BatchTree control plane.
 
-Re-design of the reference's multiround pipeline (``bblean/multiround.py``)
-for a TPU mesh:
+TPU-native re-design of the reference's multiround pipeline
+(``bblean/multiround.py:333-484``): instead of worker processes exchanging
+CF *files* bin-by-bin, a 1-D device mesh runs one batched CF-forest per
+device and merges them over ICI.
 
-- **Initial round** — each device scans its local *packed* fingerprint shard
-  through the batched engine rounds (``engine/batch.py``), unpacking on
-  device, producing a per-device CF table (the reference's ``_InitialRound``,
-  ``multiround.py:146-216``, without processes; packed transfer keeps
-  host->HBM traffic at F/8 bytes per row).
-- **Merge reduction** — ``ceil(log2(D))`` binned rounds (the reference's
-  midsection rounds over file pairs, ``multiround.py:427-456``): at round
-  ``r`` device ``d + 2^r`` ships its CF table to device ``d`` over ICI
-  (``lax.ppermute``) and the receiver re-clusters own + received rows,
-  largest-first (the uint16-before-uint8 heuristic of
-  ``multiround.py:104-111``).  Each round is its own compiled program with
-  its own capacity, so per-device HBM grows with the subtree actually
-  merged — never O(D * cap) on every device the way a replicated
-  all_gather merge would.
-- **Final table** lives on device 0 (the reference's
-  ``_FinalTreeMergingRound``); labels are composed on host from the
-  per-round assignment maps.
+**Fit phase** — the input streams through the host in windows of
+``n_devices * scan_batches * batch_size`` packed rows; each window is
+placed with a ``NamedSharding`` so every device receives its contiguous
+sub-block, and one ``shard_map`` dispatch runs the fused scan program
+(slice+unpack -> insert rounds -> split pass, ``engine/batch.py``) on every
+device in parallel.  No collectives run during the fit, per-device state is
+the same sparse bounded structure the single-chip ``BatchTree`` uses
+(packed tiles + sparse linear-sum pool), and capacity grows on demand from
+cluster counts — per-device HBM is bounded by the *clusters* a device
+discovers, never by the input size (the round-2 design held dense
+``(rows_per_device, F)`` tables and could not scale).
 
-Merge rounds may switch criterion/threshold (``merge_criterion_merge``,
-``merge_threshold_change``), mirroring multiround's midsection parameters.
+**Merge phase** — ``ceil(log2(D))`` reduction rounds (the reference's
+midsection rounds over file pairs, ``multiround.py:427-456``).  Each round:
+
+1. *Exchange*: one ``lax.ppermute`` ships the sender's whole sparse state
+   (packed tiles, counts, pool) to its partner over ICI.
+2. *Group-gated merge* (collective-free, per-device): the receiver routes
+   every received GROUP against its own routing table (one MXU matmul).
+   Received groups with no similar own group — the common case for shard-
+   local clusters — are **bulk-appended wholesale**: their tiles, CFs and
+   pool rows are scattered into the receiver's tables as whole blocks, no
+   per-row work.  Only received groups that closely match an own group
+   (candidate cross-shard duplicates) have their member clusters re-inserted
+   row-level through the batch-step rounds, largest-first (the
+   uint16-before-uint8 ordering heuristic of ``multiround.py:104-111``).
+
+The gate makes the merge cost proportional to the *actual cross-device
+overlap* instead of the total cluster count: without it, a reduction over D
+shards re-clusters ~C rows on the final device, which for singleton-heavy
+regimes costs as much as the fit itself.  ``merge_gate_margin`` controls
+the trade: the gate threshold is ``merge_threshold - margin``; a margin
+>= 1 sends every group row-level (exact multiround-like behavior).
+
+Labels are composed on host from the per-round assignment maps; own rows
+never renumber (inserting received rows into an existing forest leaves
+existing slots fixed), so only receiver-side maps are exchanged.
 """
 
 from __future__ import annotations
@@ -41,15 +60,18 @@ from bblean_tpu.engine.batch import (
     BatchState,
     _batch_step_impl,
     _cluster_ls_of,
+    _grow_state,
     _init_state,
+    _next_pow2,
+    _reconstruct_ls_chunk,
+    _scan_fit_packed_impl,
+    _slice_prep_fp_rows_impl,
+    _split_topk_impl,
 )
 from bblean_tpu.ops.isim import majority_centroid_from_sums
-from bblean_tpu.ops.packing import (
-    pack_fingerprints_device,
-    unpack_fingerprints_device,
-)
+from bblean_tpu.ops.packing import pack_fingerprints_device
 
-__all__ = ["sharded_fit", "ShardedClusters"]
+__all__ = ["sharded_fit", "ShardedClusters", "ShardedForest"]
 
 
 class ShardedClusters(tp.NamedTuple):
@@ -61,105 +83,936 @@ class ShardedClusters(tp.NamedTuple):
     num_clusters: int
 
 
-def _scan_insert_packed(
-    state: BatchState,
-    pk_batches: Array,  # (B, M, F8) uint8
-    valid_batches: Array,  # (B, M) bool (False = shard padding)
-    threshold: Array,
-    tolerance: Array,
-    criterion: str,
+def _sq(tree):
+    r"""Strip the leading singleton axis shard_map leaves on a 1-D mesh."""
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def _ex(tree):
+    r"""Re-add the leading singleton axis for shard_map outputs."""
+    return jax.tree.map(lambda x: x[None], tree)
+
+
+def _best_group_sim(
+    q_cent: Array,  # (Q, F) bf16 query centroids
+    q_pops: Array,  # (Q,) int32
+    g_cent: Array,  # (G_cap, F) bf16
+    g_pops: Array,  # (G_cap,) int32
+    g_num: Array,  # ()
     block: int,
-    max_rounds: int,
-    n_features: int,
-) -> tuple[BatchState, Array]:
-    def body(state, batch):
-        row_pk, valid = batch
-        bits = unpack_fingerprints_device(row_pk, n_features)
-        row_ls = bits.astype(jnp.int32)
-        row_n = valid.astype(jnp.int32)
-        row_cent = bits.astype(jnp.bfloat16)
-        row_pop = jnp.sum(row_ls, axis=-1)
-        state, assigned, _pending = _batch_step_impl(
-            state, row_ls, row_n, row_cent, row_pk, row_pop, threshold,
-            tolerance, criterion=criterion, block=block,
-            max_rounds=max_rounds, narrow=row_ls.shape[0] // 4,
+) -> Array:
+    r"""Max Tanimoto of each query centroid over the live groups (tiled
+    MXU matmul; the similarity twin of ``_route_groups``)."""
+    q = q_cent.shape[0]
+    g_cap = g_cent.shape[0]
+    block = min(block, g_cap)
+    n_blocks = (g_num + block - 1) // block
+
+    def body(b, best):
+        start = b * block
+        cb = lax.dynamic_slice_in_dim(g_cent, start, block, axis=0)
+        pb = lax.dynamic_slice_in_dim(g_pops, start, block, axis=0)
+        inter = lax.dot_general(
+            q_cent, cb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return state, assigned
+        union = (q_pops[:, None] + pb[None, :]).astype(jnp.float32) - inter
+        sims = inter / jnp.maximum(union, 1.0)
+        cols = start + lax.broadcasted_iota(jnp.int32, (q, block), 1)
+        sims = jnp.where(cols < g_num, sims, -2.0)
+        return jnp.maximum(best, jnp.max(sims, axis=1))
 
-    state, assigned = lax.scan(body, state, (pk_batches, valid_batches))
-    return state, assigned.reshape(-1)
+    return lax.fori_loop(
+        0, n_blocks, body, jnp.full((q,), -2.0, jnp.float32)
+    )
 
 
-def _scan_insert_buffers(
+def _insert_slots_impl(
     state: BatchState,
-    ls_batches: Array,  # (B, M, F) int32
-    n_batches: Array,  # (B, M) int32
+    recv: BatchState,
+    ins_mask: Array,  # (C_cap,) bool: received slots to insert row-level
+    amap: Array,  # (C_cap,) int32 assignment map (updated where assigned)
     threshold: Array,
     tolerance: Array,
+    *,
+    m_b: int,
     criterion: str,
     block: int,
     max_rounds: int,
+    split_k: int,
+    fanout: int,
 ) -> tuple[BatchState, Array]:
-    def body(state, batch):
-        row_ls, row_n = batch
+    r"""Insert the masked received clusters into ``state`` as CF rows,
+    largest-first, in ``m_b``-row batch steps with a split pass per batch.
+
+    The batch loop has a DYNAMIC trip count (``ceil(n_ins / m_b)``), so the
+    cost is proportional to the rows actually inserted — a receiver with a
+    handful of cross-shard duplicates runs one or two batches regardless of
+    table capacity.  Rows the step could not place keep ``amap == -1`` (the
+    host grows capacity and retries).
+    """
+    c_cap = state.n.shape[0]
+    n_features = state.g_ls.shape[1]
+    # Largest-first among the masked slots; everything else sorts last
+    nkey = jnp.where(ins_mask, -recv.n, jnp.int32(1 << 30))
+    order = jnp.argsort(nkey, stable=True)
+    order = jnp.pad(order, (0, m_b))  # slack for the last dynamic slice
+    n_ins = jnp.sum(ins_mask.astype(jnp.int32))
+    n_batches = (n_ins + m_b - 1) // m_b
+    iota_b = lax.broadcasted_iota(jnp.int32, (m_b, 1), 0)[:, 0]
+
+    def cond(carry):
+        return carry[2] < n_batches
+
+    def body(carry):
+        state, amap, b = carry
+        sel = lax.dynamic_slice_in_dim(order, b * m_b, m_b)
+        valid = (b * m_b + iota_b) < n_ins
+        row_ls = _cluster_ls_of(recv, sel, n_features)
+        row_n = jnp.where(valid, recv.n[sel], 0)
         cent = majority_centroid_from_sums(row_ls, jnp.maximum(row_n, 1))
         row_pk = pack_fingerprints_device(cent)
         row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
-        state, assigned, _pending = _batch_step_impl(
-            state, row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop,
-            threshold, tolerance, criterion=criterion, block=block,
-            max_rounds=max_rounds, narrow=row_ls.shape[0] // 4,
+        state, assigned, _enc = _batch_step_impl(
+            state, row_ls, row_n, cent.astype(jnp.bfloat16), row_pk,
+            row_pop, threshold, tolerance, criterion=criterion,
+            block=block, max_rounds=max_rounds, narrow=m_b // 4,
         )
-        return state, assigned
+        state, _ = _split_topk_impl(state, k=split_k, fanout=fanout)
+        amap = amap.at[
+            jnp.where(valid & (assigned >= 0), sel, c_cap)
+        ].set(assigned, mode="drop", unique_indices=True)
+        return state, amap, b + 1
 
-    state, assigned = lax.scan(body, state, (ls_batches, n_batches))
-    return state, assigned.reshape(-1)
+    state, amap, _ = lax.while_loop(
+        cond, body, (state, amap, jnp.int32(0))
+    )
+    return state, amap
 
 
-def _rebuild_tables(
-    rows_ls: Array,  # (R, F) int32 candidate CF rows (own + received)
-    rows_n: Array,  # (R,) int32 (0 = empty / masked)
-    out_cap: int,
-    tile: int,
-    batch: int,
+def _merge_into_impl(
+    state: BatchState,
+    recv: BatchState,
+    is_recv: Array,  # () bool: this device merges (senders no-op)
+    gate: Array,  # () f32 group-similarity gate
     threshold: Array,
     tolerance: Array,
+    *,
+    m_b: int,
     criterion: str,
     block: int,
     max_rounds: int,
-) -> tuple[Array, Array, Array]:
-    r"""Re-cluster CF rows largest-first into a fresh table.
+    split_k: int,
+    fanout: int,
+) -> tuple[BatchState, Array]:
+    r"""Merge a received forest into ``state`` (collective-free).
 
-    Returns (new ls table, new n table, assignment per input row).
+    Group-gated: received groups whose best own-group centroid similarity is
+    below ``gate`` bulk-append (tiles move as whole blocks); the rest insert
+    row-level through the batch-step rounds.  Returns the updated state and
+    the (C_cap,) assignment map of received slot -> own slot (-1 where the
+    slot was masked out or could not be placed yet).
     """
-    n_rows, f = rows_ls.shape
-    order = jnp.argsort(-rows_n, stable=True)
-    sorted_ls = rows_ls[order]
-    sorted_n = rows_n[order]
-    n_batches = -(-n_rows // batch)
-    pad = n_batches * batch - n_rows
-    sorted_ls = jnp.pad(sorted_ls, ((0, pad), (0, 0)))
-    sorted_n = jnp.pad(sorted_n, (0, pad))
-    g_cap = _next_pow2(out_cap + 2)
-    state = _init_state(out_cap, g_cap, tile, f)
-    state, assigned_sorted = _scan_insert_buffers(
-        state,
-        sorted_ls.reshape(n_batches, batch, f),
-        sorted_n.reshape(n_batches, batch),
-        threshold, tolerance, criterion, min(block, out_cap), max_rounds,
+    c_cap = state.n.shape[0]
+    g_cap = state.g_ls.shape[0]
+    p_cap = state.ls.shape[0]
+    tile = state.t_pk.shape[1]
+
+    giota = lax.broadcasted_iota(jnp.int32, (g_cap, 1), 0)[:, 0]
+    live_r = is_recv & (giota < recv.g_num) & (recv.g_count > 0)
+    best_sim = _best_group_sim(
+        recv.g_cent, recv.g_pops, state.g_cent, state.g_pops, state.g_num,
+        block,
     )
-    assigned = (
-        jnp.zeros((n_rows,), jnp.int32).at[order].set(assigned_sorted[:n_rows])
+    far = live_r & (best_sim < gate)
+    close = live_r & (best_sim >= gate)
+
+    # ---- bulk append far groups (whole tiles, no per-row work) ----
+    far_i = far.astype(jnp.int32)
+    new_gid = state.g_num + jnp.cumsum(far_i) - 1  # (G_cap,)
+    g_idx = jnp.where(far, new_gid, g_cap)  # OOB drops inactive rows
+
+    occ = recv.t_slot >= 0  # (G_cap, tile)
+    cell_mask = (far[:, None] & occ).reshape(-1)
+    cell_rank = jnp.cumsum(cell_mask.astype(jnp.int32)) - 1
+    new_slot = state.num + cell_rank  # (G_cap * tile,)
+    slot_src = jnp.maximum(recv.t_slot, 0).reshape(-1)
+    src_ref = recv.ls_ref[slot_src]
+    pooled = cell_mask & (src_ref >= 0)
+    new_ref = state.num_ls + jnp.cumsum(pooled.astype(jnp.int32)) - 1
+
+    tgt_slot = jnp.where(cell_mask, new_slot, c_cap)
+    gid_cell = jnp.broadcast_to(new_gid[:, None], (g_cap, tile)).reshape(-1)
+    pos_cell = jnp.broadcast_to(
+        lax.broadcasted_iota(jnp.int32, (1, tile), 1), (g_cap, tile)
+    ).reshape(-1)
+
+    group = state.group.at[tgt_slot].set(
+        gid_cell, mode="drop", unique_indices=True
     )
-    return _dense_ls(state, f), state.n, assigned
+    pos = state.pos.at[tgt_slot].set(
+        pos_cell, mode="drop", unique_indices=True
+    )
+    n = state.n.at[tgt_slot].set(
+        recv.n[slot_src], mode="drop", unique_indices=True
+    )
+    ls_ref = state.ls_ref.at[tgt_slot].set(
+        jnp.where(pooled, new_ref, -1), mode="drop", unique_indices=True
+    )
+    ls = state.ls.at[jnp.where(pooled, new_ref, p_cap)].set(
+        recv.ls[jnp.maximum(src_ref, 0)], mode="drop", unique_indices=True
+    )
+    # Tiles copy wholesale; slot cells remap to the fresh slot ids
+    remap_slot = jnp.where(
+        occ, (state.num + cell_rank.reshape(g_cap, tile)), -1
+    )
+    t_pk = state.t_pk.at[g_idx].set(
+        recv.t_pk, mode="drop", unique_indices=True
+    )
+    t_pops = state.t_pops.at[g_idx].set(
+        recv.t_pops, mode="drop", unique_indices=True
+    )
+    t_slot = state.t_slot.at[g_idx].set(
+        remap_slot, mode="drop", unique_indices=True
+    )
+    g_ls = state.g_ls.at[g_idx].set(
+        recv.g_ls, mode="drop", unique_indices=True
+    )
+    g_n = state.g_n.at[g_idx].set(
+        recv.g_n, mode="drop", unique_indices=True
+    )
+    g_cent = state.g_cent.at[g_idx].set(
+        recv.g_cent, mode="drop", unique_indices=True
+    )
+    g_pops = state.g_pops.at[g_idx].set(
+        recv.g_pops, mode="drop", unique_indices=True
+    )
+    g_count = state.g_count.at[g_idx].set(
+        recv.g_count, mode="drop", unique_indices=True
+    )
+
+    amap = jnp.full((c_cap,), -1, jnp.int32).at[
+        jnp.where(cell_mask, slot_src, c_cap)
+    ].set(new_slot, mode="drop", unique_indices=True)
+
+    state = BatchState(
+        ls=ls,
+        num_ls=state.num_ls + jnp.sum(pooled.astype(jnp.int32)),
+        ls_ref=ls_ref,
+        n=n,
+        group=group,
+        pos=pos,
+        num=state.num + jnp.sum(cell_mask.astype(jnp.int32)),
+        t_pk=t_pk,
+        t_pops=t_pops,
+        t_slot=t_slot,
+        g_ls=g_ls,
+        g_n=g_n,
+        g_cent=g_cent,
+        g_pops=g_pops,
+        g_count=g_count,
+        g_num=state.g_num + jnp.sum(far_i),
+    )
+
+    # ---- row-level insert the close groups' member clusters ----
+    ciota = lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)[:, 0]
+    ins_mask = (
+        (ciota < recv.num) & (recv.n > 0) & close[recv.group]
+    )
+    state, amap = _insert_slots_impl(
+        state, recv, ins_mask, amap, threshold, tolerance, m_b=m_b,
+        criterion=criterion, block=block, max_rounds=max_rounds,
+        split_k=split_k, fanout=fanout,
+    )
+    return state, amap
 
 
-def _dense_ls(state: BatchState, n_features: int) -> Array:
-    r"""Dense (cap, F) linear sums from the sparse pool + singleton bits."""
-    cap = state.n.shape[0]
-    return _cluster_ls_of(
-        state, jnp.arange(cap, dtype=jnp.int32), n_features
-    )
+class ShardedForest:
+    r"""Host driver for the SPMD sharded engine: one batched CF-forest per
+    mesh device, merged over ICI after the fit.
+
+    The stacked device state is a ``BatchState`` with a leading device axis
+    sharded over the mesh; all fit dispatches are ``shard_map`` programs with
+    no collectives, so throughput scales linearly with devices.  The host
+    control plane mirrors ``BatchTree``: windows queue with depth-2
+    pipelining, capacity grows on demand (uniform across devices), and rare
+    pending rows retry at flush boundaries.
+    """
+
+    def __init__(
+        self,
+        n_features: int,
+        mesh: Mesh,
+        *,
+        threshold: float = 0.65,
+        merge_criterion: str = "diameter",
+        tolerance: float = 0.05,
+        merge_criterion_merge: str | None = None,
+        merge_threshold_change: float = 0.0,
+        merge_gate_margin: float = 0.15,
+        batch_size: int = 1024,
+        scan_batches: int = 4,
+        fanout: int | None = None,
+        tile: int = 256,
+        initial_capacity: int = 8192,
+        ls_capacity: int | None = None,
+        g_capacity: int | None = None,
+        route_block: int = 1024,
+        max_rounds: int = 24,
+        axis_name: str = "dp",
+    ) -> None:
+        if fanout is None:
+            fanout = min(192, tile * 3 // 4)
+        if fanout >= tile:
+            raise ValueError("fanout must be < tile (headroom for creations)")
+        self.n_features = n_features
+        self.n_bytes = (n_features + 7) // 8
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_devices = int(mesh.devices.size)
+        self.threshold = threshold
+        self.merge_criterion = merge_criterion
+        self.tolerance = tolerance
+        self.merge_criterion_merge = (
+            merge_criterion_merge
+            if merge_criterion_merge is not None
+            else merge_criterion
+        )
+        self.merge_threshold = threshold + merge_threshold_change
+        self.merge_gate_margin = merge_gate_margin
+        self.batch_size = batch_size
+        self.scan_batches = scan_batches
+        self.fanout = fanout
+        self.tile = tile
+        self.route_block = route_block
+        self.max_rounds = max_rounds
+        self.split_k = 64
+
+        self.capacity = _next_pow2(
+            max(initial_capacity, 2 * batch_size + 1)
+        )
+        self.ls_capacity = _next_pow2(
+            ls_capacity
+            if ls_capacity is not None
+            else max(min(self.capacity // 4, 1 << 17), 2 * batch_size + 1)
+        )
+        self.g_capacity = _next_pow2(
+            g_capacity
+            if g_capacity is not None
+            else max(
+                256,
+                self.capacity * 13 // (10 * max(fanout, 1)),
+                2 * batch_size + 2,
+            )
+        )
+        self._sharding = NamedSharding(self.mesh, P(axis_name))
+        self.state = self._init_stacked()
+        # Host-side per-device upper bounds (uniform capacity => track max)
+        self._num_upper = 0
+        self._g_upper = 1
+        self._ls_upper = 0
+        # Window bookkeeping: (assigned (D, k*m) device or np, valids (D,))
+        self._windows: list[tuple[tp.Any, np.ndarray]] = []
+        self._boundary_queue: list[dict] = []
+        self._total_rows = 0
+        self._merged = False
+        self._round_maps: list[tuple[int, dict[int, np.ndarray]]] = []
+
+    # -- device programs -----------------------------------------------------
+
+    def _init_stacked(self) -> BatchState:
+        d = self.n_devices
+
+        @partial(jax.jit, out_shardings=self._sharding)
+        def init():
+            base = _init_state(
+                self.capacity, self.g_capacity, self.tile,
+                self.n_features, self.ls_capacity,
+            )
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (d, *x.shape)), base
+            )
+
+        return init()
+
+    def _grow(self, new_c: int, new_g: int, new_p: int) -> None:
+        @partial(jax.jit, out_shardings=self._sharding)
+        def grow(state):
+            # _grow_state knows the per-leaf pad rules (guard values);
+            # apply it under vmap over the device axis
+            return jax.vmap(
+                lambda s: _grow_state(s, new_c, new_g, new_p)
+            )(state)
+
+        self.state = grow(self.state)
+        self.capacity, self.g_capacity, self.ls_capacity = new_c, new_g, new_p
+
+    def _ensure_capacity(
+        self,
+        incoming: int,
+        g_incoming: int | None = None,
+        p_incoming: int | None = None,
+    ) -> None:
+        r"""Grow (uniform across devices) using host upper bounds; exact
+        counts are pulled only near the capacity edge.  Group/pool headroom
+        is bounded separately (see ``BatchTree._ensure_capacity``) — groups
+        carry ``tile * F/8``-byte tiles, so cluster-level worst cases must
+        not size the group table; in-table guards pend + retry instead."""
+        if g_incoming is None:
+            g_incoming = incoming
+        if p_incoming is None:
+            p_incoming = incoming
+        if self._num_upper + incoming + 1 > self.capacity:
+            self._num_upper = int(np.asarray(self.state.num).max())
+        if self._g_upper + g_incoming + 1 > self.g_capacity:
+            self._g_upper = int(np.asarray(self.state.g_num).max())
+        if self._ls_upper + p_incoming + 1 > self.ls_capacity:
+            self._ls_upper = int(np.asarray(self.state.num_ls).max())
+        need_c = self._num_upper + incoming + 1
+        need_g = self._g_upper + g_incoming + 1
+        need_p = self._ls_upper + p_incoming + 1
+        new_c, new_g, new_p = self.capacity, self.g_capacity, self.ls_capacity
+        while new_c < need_c:
+            new_c *= 2
+        while new_g < need_g:
+            new_g *= 2
+        while new_p < need_p:
+            new_p *= 2
+        if (new_c, new_g, new_p) != (
+            self.capacity, self.g_capacity, self.ls_capacity
+        ):
+            self._grow(new_c, new_g, new_p)
+
+    @property
+    def _fit_window_program(self):
+        try:
+            return self.__dict__["_fit_window_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "k", "m", "n_features", "criterion", "block", "max_rounds",
+                "narrow", "split_k", "fanout",
+            ),
+            donate_argnums=(0,),
+        )
+        def fit_window(
+            state, dev_fps, n_valid, threshold, tolerance, *, k, m,
+            n_features, criterion, block, max_rounds, narrow, split_k,
+            fanout,
+        ):
+            def body(state, fps, nv, thr, tol):
+                st, assigned, encs = _scan_fit_packed_impl(
+                    _sq(state), fps, jnp.int32(0), nv[0], thr, tol,
+                    k=k, m=m, n_features=n_features,
+                    criterion=criterion, block=block, max_rounds=max_rounds,
+                    use_pallas=False, narrow=narrow, split_k=split_k,
+                    fanout=fanout,
+                )
+                return _ex(st), assigned[None], encs[None]
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax)),
+                check_vma=False,
+            )(state, dev_fps, n_valid, threshold, tolerance)
+
+        self.__dict__["_fit_window_jit"] = fit_window
+        return fit_window
+
+    @property
+    def _retry_program(self):
+        try:
+            return self.__dict__["_retry_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "m", "n_features", "criterion", "block", "max_rounds",
+                "narrow",
+            ),
+            donate_argnums=(0,),
+        )
+        def retry(
+            state, dev_fps, start, n_valid, missing, threshold, tolerance,
+            *, m, n_features, criterion, block, max_rounds, narrow,
+        ):
+            def body(state, fps, st0, nv, miss, thr, tol):
+                rows = _slice_prep_fp_rows_impl(
+                    fps, st0[0], nv[0], m, n_features
+                )
+                row_ls, row_n, row_cent, row_pk, row_pop = rows
+                row_n = jnp.where(miss[0], row_n, 0)
+                st, assigned, _enc = _batch_step_impl(
+                    _sq(state), row_ls, row_n, row_cent, row_pk, row_pop,
+                    thr, tol, criterion=criterion, block=block,
+                    max_rounds=max_rounds, narrow=narrow,
+                )
+                return _ex(st), assigned[None]
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(), P()),
+                out_specs=(P(ax), P(ax)),
+                check_vma=False,
+            )(state, dev_fps, start, n_valid, missing, threshold, tolerance)
+
+        self.__dict__["_retry_jit"] = retry
+        return retry
+
+    @property
+    def _split_program(self):
+        try:
+            return self.__dict__["_split_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+
+        @partial(
+            jax.jit, static_argnames=("k", "fanout"), donate_argnums=(0,)
+        )
+        def split(state, *, k, fanout):
+            def body(state):
+                st, n_left = _split_topk_impl(_sq(state), k=k, fanout=fanout)
+                return _ex(st), n_left[None]
+
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(ax),),
+                out_specs=(P(ax), P(ax)), check_vma=False,
+            )(state)
+
+        self.__dict__["_split_jit"] = split
+        return split
+
+    @property
+    def _exchange_program(self):
+        try:
+            return self.__dict__["_exchange_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+        n_dev = self.n_devices
+
+        @partial(jax.jit, static_argnames=("stride",))
+        def exchange(state, *, stride):
+            perm = [
+                (s, s - stride)
+                for s in range(n_dev)
+                if s % (2 * stride) == stride
+            ]
+
+            def body(state):
+                return _ex(jax.tree.map(
+                    lambda x: lax.ppermute(x, ax, perm), _sq(state)
+                ))
+
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(ax),), out_specs=P(ax),
+                check_vma=False,
+            )(state)
+
+        self.__dict__["_exchange_jit"] = exchange
+        return exchange
+
+    @property
+    def _merge_program(self):
+        try:
+            return self.__dict__["_merge_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "stride", "m_b", "criterion", "block", "max_rounds",
+                "split_k", "fanout",
+            ),
+            donate_argnums=(0,),
+        )
+        def merge(
+            state, recv, gate, threshold, tolerance, *, stride, m_b,
+            criterion, block, max_rounds, split_k, fanout,
+        ):
+            def body(state, recv, gt, thr, tol):
+                idx = lax.axis_index(ax)
+                is_recv = (idx % (2 * stride)) == 0
+                st, amap = _merge_into_impl(
+                    _sq(state), _sq(recv), is_recv, gt, thr, tol,
+                    m_b=m_b, criterion=criterion, block=block,
+                    max_rounds=max_rounds, split_k=split_k, fanout=fanout,
+                )
+                return _ex(st), amap[None]
+
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(ax), P(ax), P(), P(), P()),
+                out_specs=(P(ax), P(ax)), check_vma=False,
+            )(state, recv, gate, threshold, tolerance)
+
+        self.__dict__["_merge_jit"] = merge
+        return merge
+
+    @property
+    def _merge_retry_program(self):
+        try:
+            return self.__dict__["_merge_retry_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "m_b", "criterion", "block", "max_rounds", "split_k",
+                "fanout",
+            ),
+            donate_argnums=(0, 2),
+        )
+        def merge_retry(
+            state, recv, amap, threshold, tolerance, *, m_b, criterion,
+            block, max_rounds, split_k, fanout,
+        ):
+            def body(state, recv, amap, thr, tol):
+                st, recv_, amap_ = _sq(state), _sq(recv), _sq(amap)
+                # recv keeps its pre-growth capacity after the state grew
+                # mid-merge; every mask/map here is recv-sized
+                rc = recv_.n.shape[0]
+                ciota = lax.broadcasted_iota(jnp.int32, (rc, 1), 0)[:, 0]
+                ins = (ciota < recv_.num) & (recv_.n > 0) & (amap_ < 0)
+                st, amap_ = _insert_slots_impl(
+                    st, recv_, ins, amap_, thr, tol, m_b=m_b,
+                    criterion=criterion, block=block, max_rounds=max_rounds,
+                    split_k=split_k, fanout=fanout,
+                )
+                return _ex(st), amap_[None]
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(), P()),
+                out_specs=(P(ax), P(ax)), check_vma=False,
+            )(state, recv, amap, threshold, tolerance)
+
+        self.__dict__["_merge_retry_jit"] = merge_retry
+        return merge_retry
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit_packed(self, packed_fps: "np.ndarray") -> None:
+        r"""Stream packed fingerprint rows through the mesh.
+
+        ``packed_fps`` may be a memmap; the host materializes one
+        ``D * scan_batches * batch_size`` window at a time (plus one window
+        of prefetch), so host RSS is bounded by the window size, not the
+        input.  Rows are assigned to devices in contiguous per-window
+        blocks; labels compose at :meth:`merge`.
+        """
+        if self._merged:
+            raise RuntimeError("cannot insert after merge()")
+        d = self.n_devices
+        m, k = self.batch_size, self.scan_batches
+        win_d = k * m  # rows per device per window
+        window = d * win_d
+        num = len(packed_fps)
+
+        def upload(start: int):
+            stop = min(start + window, num)
+            if stop <= start:
+                return None, None
+            chunk = np.asarray(packed_fps[start:stop])
+            if stop - start < window:
+                chunk = np.pad(chunk, ((0, window - (stop - start)), (0, 0)))
+            valids = np.clip(
+                (stop - start) - win_d * np.arange(d), 0, win_d
+            ).astype(np.int32)
+            return (
+                jax.device_put(np.ascontiguousarray(chunk), self._sharding),
+                valids,
+            )
+
+        next_up = upload(0)
+        for start in range(0, num, window):
+            dev_buf, valids = next_up
+            next_up = upload(start + window)  # async prefetch
+            self._submit_window(dev_buf, valids)
+        self._total_rows += num
+        self.flush()
+
+    def _submit_window(self, dev_buf: Array, valids: np.ndarray) -> None:
+        m, k = self.batch_size, self.scan_batches
+        self._ensure_capacity(
+            k * m,
+            g_incoming=2 * k * (self.split_k + 4 * (m // self.tile + 4)),
+            p_incoming=k * m,
+        )
+        self.state, assigned, encs = self._fit_window_program(
+            self.state, dev_buf,
+            jax.device_put(valids, self._sharding),
+            jnp.float32(self.threshold), jnp.float32(self.tolerance),
+            k=k, m=m, n_features=self.n_features,
+            criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds, narrow=m // 4,
+            split_k=self.split_k, fanout=self.fanout,
+        )
+        n_valid = int(valids.max(initial=0))
+        self._num_upper += n_valid
+        self._ls_upper += n_valid
+        self._g_upper += k * self.split_k + max(
+            16, 4 * (n_valid // self.tile + 1)
+        )
+        self._windows.append((assigned.reshape(self.n_devices, -1), valids))
+        self._boundary_queue.append(
+            {
+                "win_idx": len(self._windows) - 1,
+                "dev_fps": dev_buf,
+                "valids": valids,
+                "enc": encs,  # (D, k)
+            }
+        )
+        if len(self._boundary_queue) >= 2:
+            self.flush()
+
+    def flush(self) -> None:
+        r"""Process deferred boundaries: pending retries + a split pass."""
+        queue, self._boundary_queue = self._boundary_queue, []
+        if queue:
+            encs = np.asarray(
+                jnp.concatenate([q["enc"] for q in queue], axis=1)
+            )  # (D, sum_k)
+            offset = 0
+            for q in queue:
+                kq = q["enc"].shape[1]
+                pending = encs[:, offset : offset + kq] // 1000  # (D, k)
+                offset += kq
+                if (pending > 0).any():
+                    self._retry_window(q, pending)
+        self._split_drain(drain=False)
+
+    def _split_drain(self, drain: bool) -> None:
+        k = self.split_k
+        for _ in range(64):
+            self._ensure_capacity(k)
+            self.state, n_left = self._split_program(
+                self.state, k=k, fanout=self.fanout
+            )
+            self._g_upper += k
+            if not drain or int(np.asarray(n_left).max()) <= 0:
+                return
+
+    def _retry_window(self, q: dict, pending: np.ndarray) -> None:
+        r"""Drain a window whose scan left pending rows on some device
+        (rare): split fully, then masked re-steps per affected batch."""
+        d = self.n_devices
+        m, k = self.batch_size, self.scan_batches
+        assigned_dev, valids = self._windows[q["win_idx"]]
+        final = np.array(np.asarray(assigned_dev))  # (D, k*m)
+        valid_rows = (
+            np.arange(k * m)[None, :] < valids[:, None]
+        )  # (D, k*m)
+        for i in range(k):
+            if not (pending[:, i] > 0).any():
+                continue
+            seg = slice(i * m, (i + 1) * m)
+            for _attempt in range(64):
+                missing = (final[:, seg] == -1) & valid_rows[:, seg]
+                if not missing.any():
+                    break
+                self._split_drain(drain=True)
+                self._ensure_capacity(m)
+                starts = np.full(d, i * m, np.int32)
+                nv = np.clip(valids - i * m, 0, m).astype(np.int32)
+                self.state, assigned = self._retry_program(
+                    self.state, q["dev_fps"],
+                    jax.device_put(starts, self._sharding),
+                    jax.device_put(nv, self._sharding),
+                    jax.device_put(missing, self._sharding),
+                    jnp.float32(self.threshold),
+                    jnp.float32(self.tolerance),
+                    m=m, n_features=self.n_features,
+                    criterion=self.merge_criterion,
+                    block=self.route_block, max_rounds=self.max_rounds,
+                    narrow=m // 4,
+                )
+                n_miss = int(missing.sum(1).max(initial=0))
+                self._num_upper += n_miss
+                self._g_upper += n_miss
+                self._ls_upper += n_miss
+                assigned_np = np.asarray(assigned)
+                final[:, seg][missing] = assigned_np[missing]
+            else:
+                raise RuntimeError("sharded engine failed to drain a window")
+        self._windows[q["win_idx"]] = (final, valids)
+
+    # -- merge ---------------------------------------------------------------
+
+    def merge(self) -> None:
+        r"""Run the ``ceil(log2(D))`` reduction rounds; device 0 ends up
+        holding the global forest.  Idempotent."""
+        if self._merged:
+            return
+        self.flush()
+        self._split_drain(drain=True)
+        d = self.n_devices
+        if d > 1:
+            gate = np.clip(
+                self.merge_threshold - self.merge_gate_margin, 0.0, 1.0
+            )
+            m_b = self.batch_size
+            num_rounds = math.ceil(math.log2(d))
+            for r in range(num_rounds):
+                stride = 1 << r
+                receivers = [
+                    s - stride
+                    for s in range(d)
+                    if s % (2 * stride) == stride
+                ]
+                # Uniform capacity: the worst pair must fit own + received
+                nums = np.asarray(self.state.num)
+                gnums = np.asarray(self.state.g_num)
+                pnums = np.asarray(self.state.num_ls)
+                need_c = need_g = need_p = 0
+                for recv_d in receivers:
+                    s = recv_d + stride
+                    need_c = max(need_c, int(nums[recv_d] + nums[s]))
+                    need_g = max(
+                        need_g,
+                        int(
+                            gnums[recv_d] + gnums[s]
+                            + nums[s] // self.tile + self.split_k + 16
+                        ),
+                    )
+                    need_p = max(
+                        need_p, int(pnums[recv_d] + pnums[s] + nums[s])
+                    )
+                self._num_upper = need_c
+                self._g_upper = need_g
+                self._ls_upper = need_p
+                self._ensure_capacity(m_b + 1)
+                recv = self._exchange_program(self.state, stride=stride)
+                self.state, amap = self._merge_program(
+                    self.state, recv, jnp.float32(gate),
+                    jnp.float32(self.merge_threshold),
+                    jnp.float32(self.tolerance), stride=stride, m_b=m_b,
+                    criterion=self.merge_criterion_merge,
+                    block=self.route_block, max_rounds=self.max_rounds,
+                    split_k=self.split_k, fanout=self.fanout,
+                )
+                # Retry until every live received slot is mapped (capacity
+                # growth is the usual reason a slot pends)
+                for _attempt in range(64):
+                    amap_np = np.asarray(amap)  # (D, C_cap)
+                    missing = False
+                    for recv_d in receivers:
+                        s = recv_d + stride
+                        n_recv = int(nums[s])
+                        if (amap_np[recv_d, :n_recv] < 0).any():
+                            missing = True
+                    if not missing:
+                        break
+                    # Sync true counts: overflow-chunk creations during the
+                    # insert loop can outrun the host's loose upper bounds,
+                    # and a stale bound here would skip the growth the
+                    # pending rows are waiting for
+                    self._num_upper = int(np.asarray(self.state.num).max())
+                    self._g_upper = int(np.asarray(self.state.g_num).max())
+                    self._ls_upper = int(np.asarray(self.state.num_ls).max())
+                    self._ensure_capacity(2 * m_b)
+                    self.state, amap = self._merge_retry_program(
+                        self.state, recv, amap,
+                        jnp.float32(self.merge_threshold),
+                        jnp.float32(self.tolerance), m_b=m_b,
+                        criterion=self.merge_criterion_merge,
+                        block=self.route_block,
+                        max_rounds=self.max_rounds,
+                        split_k=self.split_k, fanout=self.fanout,
+                    )
+                else:
+                    raise RuntimeError(
+                        "sharded merge failed to place every received row"
+                    )
+                del recv
+                self._round_maps.append(
+                    (
+                        stride,
+                        {recv_d: amap_np[recv_d] for recv_d in receivers},
+                    )
+                )
+        self._merged = True
+
+    # -- extraction ----------------------------------------------------------
+
+    def labels(self) -> np.ndarray:
+        r"""Final cluster slot per input row (composed on host)."""
+        self.merge()
+        d = self.n_devices
+        m, k = self.batch_size, self.scan_batches
+        win_d = k * m
+        parts: list[np.ndarray] = []
+        dev_parts: list[np.ndarray] = []
+        for assigned, valids in self._windows:
+            arr = np.asarray(assigned)  # (D, k*m)
+            for dev in range(d):
+                nv = int(valids[dev])
+                if nv:
+                    parts.append(arr[dev, :nv])
+                    dev_parts.append(np.full(nv, dev, np.int64))
+        if not parts:
+            return np.empty(0, np.int64)
+        labels = np.concatenate(parts).astype(np.int64)
+        dev_of = np.concatenate(dev_parts)
+        for stride, maps in self._round_maps:
+            for recv_d, amap in maps.items():
+                sent = dev_of == recv_d + stride
+                if sent.any():
+                    labels[sent] = amap[labels[sent]]
+                    dev_of[sent] = recv_d
+        return labels
+
+    @property
+    def num_clusters(self) -> int:
+        self.merge()
+        return int(np.asarray(self.state.num)[0])
+
+    def cluster_sizes(self) -> np.ndarray:
+        self.merge()
+        return np.asarray(self.state.n)[0][: self.num_clusters]
+
+    def linear_sums(self) -> np.ndarray:
+        r"""(C, F) int32 linear sums of the merged forest (device 0),
+        reconstructed from the sparse pool in device chunks."""
+        self.merge()
+        ncl = self.num_clusters
+
+        @partial(jax.jit, static_argnames=("chunk", "n_features"))
+        def chunk0(state, start, *, chunk, n_features):
+            return _reconstruct_ls_chunk(
+                jax.tree.map(lambda x: x[0], state), start, chunk,
+                n_features,
+            )
+
+        out = np.empty((ncl, self.n_features), np.int32)
+        chunk = 1 << 15
+        for start in range(0, ncl, chunk):
+            size = min(chunk, ncl - start)
+            rows = chunk0(
+                self.state, jnp.int32(start), chunk=chunk,
+                n_features=self.n_features,
+            )
+            out[start : start + size] = np.asarray(rows)[:size]
+        return out
+
+    def state_bytes_per_device(self) -> int:
+        r"""Device-table footprint per device (capacity-sized)."""
+        return sum(
+            int(np.prod(x.shape[1:])) * x.dtype.itemsize
+            for x in self.state
+        )
 
 
 def sharded_fit(
@@ -173,177 +1026,67 @@ def sharded_fit(
     tolerance: float = 0.05,
     merge_criterion_merge: str | None = None,
     merge_threshold_change: float = 0.0,
+    merge_gate_margin: float = 0.15,
     batch_size: int = 256,
+    scan_batches: int = 4,
     capacity: int | None = None,
     g_capacity: int | None = None,
-    merge_capacity: int | None = None,
+    fanout: int | None = None,
     tile: int = 256,
     centroid_block: int = 512,
-    max_rounds: int = 16,
+    max_rounds: int = 24,
     axis_name: str = "dp",
 ) -> ShardedClusters:
     r"""Cluster fingerprints data-parallel over a device mesh.
 
-    ``fps`` may be unpacked 0/1 rows or packed bytes (``input_is_packed``).
-    Rows are padded to a multiple of ``n_devices * batch_size`` with empty
-    rows (ignored).  ``capacity`` bounds per-device clusters in the initial
-    round (default: the per-device row count); ``merge_capacity`` bounds the
-    table size of merge round ``r``, which otherwise doubles per round from
-    ``capacity`` — set it when clusters are known to merge heavily.
+    ``fps`` may be unpacked 0/1 rows or packed bytes (``input_is_packed``),
+    including a memmap — rows stream through in windows.  Capacity defaults
+    grow on demand from the clusters each device discovers (decoupled from
+    the input size).
     """
-    n_dev = mesh.devices.size
     if input_is_packed:
         if n_features is None:
             n_features = fps.shape[1] * 8
+        packed = np.asarray(fps, dtype=np.uint8)
     else:
         n_features = fps.shape[1]
-        fps = np.packbits(np.asarray(fps, dtype=np.uint8), axis=-1)
-    f = n_features
-    f8 = fps.shape[1]
-    n = len(fps)
+        packed = np.packbits(np.asarray(fps, dtype=np.uint8), axis=-1)
 
-    per_dev = -(-n // (n_dev * batch_size)) * batch_size
-    if n_dev * per_dev != n:
-        padded = np.zeros((n_dev * per_dev, f8), dtype=np.uint8)
-        padded[:n] = fps
-    else:
-        padded = np.asarray(fps, dtype=np.uint8)
-    n_batches = per_dev // batch_size
-
-    cap = _next_pow2(capacity if capacity is not None else per_dev + 1)
-    g_cap = _next_pow2(g_capacity if g_capacity is not None else cap + 2)
-    block = min(centroid_block, cap)
-    threshold_ = jnp.float32(threshold)
-    m_threshold = jnp.float32(threshold + merge_threshold_change)
-    tolerance_ = jnp.float32(tolerance)
-    m_criterion = (
-        merge_criterion_merge if merge_criterion_merge is not None
-        else merge_criterion
+    # Spread small inputs over the whole mesh: shrink the scan window so one
+    # window's per-device block does not swallow every row on device 0
+    d = int(mesh.devices.size)
+    scan_batches = max(
+        1, min(scan_batches, -(-len(packed) // (d * batch_size)))
     )
 
-    # ---- initial round: one compiled SPMD program ----
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P(axis_name),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        check_vma=False,
+    forest = ShardedForest(
+        n_features,
+        mesh,
+        threshold=threshold,
+        merge_criterion=merge_criterion,
+        tolerance=tolerance,
+        merge_criterion_merge=merge_criterion_merge,
+        merge_threshold_change=merge_threshold_change,
+        merge_gate_margin=merge_gate_margin,
+        batch_size=batch_size,
+        scan_batches=scan_batches,
+        fanout=fanout,
+        tile=tile,
+        initial_capacity=(
+            capacity if capacity is not None else 2 * batch_size + 2
+        ),
+        g_capacity=g_capacity,
+        route_block=centroid_block,
+        max_rounds=max_rounds,
+        axis_name=axis_name,
     )
-    def initial_round(local_pk):  # (per_dev, F8) on each device
-        state = _init_state(cap, g_cap, tile, f)
-        # Validity from the global row index (supports all-zero fps rows)
-        my_base = lax.axis_index(axis_name) * per_dev
-        local_idx = my_base + jnp.arange(per_dev, dtype=jnp.int32)
-        valid = (local_idx < n).reshape(n_batches, batch_size)
-        batches = local_pk.reshape(n_batches, batch_size, f8)
-        state, local_assigned = _scan_insert_packed(
-            state, batches, valid, threshold_, tolerance_, merge_criterion,
-            block, max_rounds, f,
-        )
-        return local_assigned[None], _dense_ls(state, f)[None], state.n[None]
-
-    sharding = NamedSharding(mesh, P(axis_name))
-    local_pk = jax.device_put(padded, sharding)
-    local_assigned, tables_ls, tables_n = initial_round(local_pk)
-    local_assigned = np.asarray(local_assigned).reshape(n_dev, per_dev)
-
-    # ---- merge reduction: ceil(log2(D)) rounds of pair-merges over ICI ----
-
-    num_rounds = max(1, math.ceil(math.log2(n_dev))) if n_dev > 1 else 0
-    cur_cap = cap
-    # (own_assign, recv_assign) per round, pulled to host for composition
-    round_maps: list[tuple[np.ndarray, np.ndarray]] = []
-
-    for r in range(num_rounds):
-        stride = 1 << r
-        out_cap = _next_pow2(min(
-            2 * cur_cap,
-            merge_capacity if merge_capacity is not None else 2 * cur_cap,
-        ))
-        out_cap = max(out_cap, cur_cap)  # table must fit unmerged worst case
-        perm = [
-            (s, s - stride)
-            for s in range(n_dev)
-            if s % (2 * stride) == stride
-        ]
-        in_cap = cur_cap
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name)),
-            out_specs=(
-                P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-            ),
-            check_vma=False,
-        )
-        def merge_round(cur_ls, cur_n):  # (1, in_cap, F) / (1, in_cap)
-            cur_ls, cur_n = cur_ls[0], cur_n[0]
-            recv_ls = lax.ppermute(cur_ls, axis_name, perm)
-            recv_n = lax.ppermute(cur_n, axis_name, perm)
-            idx = lax.axis_index(axis_name)
-            is_receiver = (idx % (2 * stride)) == 0
-            rows_ls = jnp.concatenate([cur_ls, recv_ls], axis=0)
-            rows_n = jnp.concatenate([cur_n, recv_n], axis=0)
-            # Non-receivers run the same program as a no-op (masked rows)
-            rows_n = jnp.where(is_receiver, rows_n, 0)
-            new_ls, new_n, assigned = _rebuild_tables(
-                rows_ls, rows_n, out_cap, tile, batch_size, m_threshold,
-                tolerance_, m_criterion, centroid_block, max_rounds,
-            )
-            own_assign = assigned[:in_cap]
-            recv_assign = assigned[in_cap:]
-            return (
-                new_ls[None], new_n[None],
-                own_assign[None], recv_assign[None],
-            )
-
-        tables_ls, tables_n, own_assign, recv_assign = merge_round(
-            tables_ls, tables_n
-        )
-        round_maps.append(
-            (np.asarray(own_assign), np.asarray(recv_assign))
-        )
-        cur_cap = out_cap
-
-    # ---- compose labels on host ----
-    # Each input row: (device, local slot) -> walk the reduction tree.
-    labels = np.empty(n, dtype=np.int64)
-    dev_of = np.empty(n, dtype=np.int64)
-    for d in range(n_dev):
-        lo, hi = d * per_dev, min((d + 1) * per_dev, n)
-        if lo >= n:
-            break
-        labels[lo:hi] = local_assigned[d, : hi - lo]
-        dev_of[lo:hi] = d
-    for r, (own_assign, recv_assign) in enumerate(round_maps):
-        stride = 1 << r
-        rem = dev_of % (2 * stride)
-        is_own = rem == 0
-        is_sent = rem == stride
-        labels[is_own] = own_assign[dev_of[is_own], labels[is_own]]
-        recv_dev = dev_of[is_sent] - stride
-        labels[is_sent] = recv_assign[recv_dev, labels[is_sent]]
-        dev_of[is_sent] = recv_dev
-
-    # ---- pull the final table (device 0's shard) ----
-    merged_ls = np.asarray(tables_ls)[0]
-    merged_n = np.asarray(tables_n)[0]
-    num = int((merged_n > 0).sum())
-    live = np.nonzero(merged_n > 0)[0]
-    remap = np.full(len(merged_n), -1, dtype=np.int64)
-    remap[live] = np.arange(num)
+    forest.fit_packed(packed)
+    forest.merge()
+    labels = forest.labels()
+    sizes = forest.cluster_sizes()
     return ShardedClusters(
-        labels=remap[labels],
-        linear_sums=merged_ls[live],
-        sizes=merged_n[live],
-        num_clusters=num,
+        labels=labels,
+        linear_sums=forest.linear_sums(),
+        sizes=sizes,
+        num_clusters=forest.num_clusters,
     )
-
-
-def _next_pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p

@@ -132,3 +132,50 @@ def test_linear_sums_match_members(fps) -> None:
     for slot in range(res.num_clusters):
         members = np.nonzero(res.labels == slot)[0]
         assert (res.linear_sums[slot] == fps[members].sum(0)).all()
+
+
+def test_capacity_decoupled_from_input_size() -> None:
+    r"""Per-device table capacity is bounded by the clusters discovered,
+    never by the row count — the property that lets the sharded engine run
+    10M-row inputs within fixed per-device HBM (round-2 design held dense
+    per-row tables and could not)."""
+    from bblean_tpu.parallel import ShardedForest
+
+    base = make_fake_fingerprints(64, seed=3, pack=False)
+    fps = np.repeat(base, 48, axis=0)  # 3072 rows, <= 64 distinct patterns
+    mesh = get_mesh(8)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.3, batch_size=128, initial_capacity=512,
+        route_block=128, scan_batches=2,
+    )
+    forest.fit_packed(np.packbits(fps, axis=-1))
+    forest.merge()
+    labels = forest.labels()
+    assert labels.shape == (3072,)
+    assert forest.cluster_sizes().sum() == 3072
+    # 3072 rows but only ~64 distinct patterns: capacity must stay near the
+    # initial allocation instead of tracking the row count
+    assert forest.capacity <= 1024
+
+
+def test_single_device_matches_batch_engine(fps) -> None:
+    r"""A 1-device mesh runs the identical scan program the single-chip
+    ``BatchTree`` runs: cluster counts agree exactly (the sharded analogue
+    of the batch engine's exactness-in-the-limit test)."""
+    from bblean_tpu.engine.batch import BatchTree
+
+    mesh = get_mesh(1)
+    res = sharded_fit(
+        fps, mesh, threshold=0.65, batch_size=128, centroid_block=128,
+        max_rounds=16,
+    )
+    tree = BatchTree(
+        2048, threshold=0.65, batch_size=128, route_block=128,
+        initial_capacity=1024, max_rounds=16,
+    )
+    tree.insert_fps(fps, range(len(fps)))
+    assert res.num_clusters == tree.num_clusters
+    assert res.sizes.sum() == len(fps)
+    assert sorted(res.sizes.tolist()) == sorted(
+        tree.cluster_sizes().tolist()
+    )
