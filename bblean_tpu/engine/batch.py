@@ -1136,6 +1136,21 @@ _slice_prep_fp_rows = functools.partial(
 )(_slice_prep_fp_rows_impl)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _stage_tail(dev_fps: Array, n_valid: Array, window: int) -> Array:
+    r"""Stage the trailing ``n_valid`` rows of a device-resident input into
+    a fresh ``window``-row buffer (rows first, zero-padded) so the final
+    partial window's batch slices stay in bounds without padding the whole
+    staged input (which would cost a 2x HBM copy and an extra hot-path
+    program)."""
+    chunk = lax.dynamic_slice_in_dim(
+        dev_fps, dev_fps.shape[0] - window, window, axis=0
+    )
+    rolled = jnp.roll(chunk, n_valid - window, axis=0)
+    rank = lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
+    return jnp.where((rank < n_valid)[:, None], rolled, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("n_features",))
 def _prep_fp_rows(packed: Array, valid: Array, n_features: int):
     r"""Device-side CF-row prep from packed fingerprints (n = 1 rows)."""
@@ -1220,19 +1235,26 @@ class BatchTree:
                 min(self.capacity // 4, 1 << 17), 2 * batch_size + 1
             )
         )
+        self.split_k = 64  # oversized groups split per device dispatch
+        # Batches fused into one scan dispatch by fit_packed.  The scan body
+        # runs a split pass per batch, so a window is self-contained the way
+        # a split_interval segment of single-batch dispatches used to be.
+        self.scan_batches = 8
         # Group headroom: saturation packs ~fanout clusters per group, so
         # the true need is ~capacity/fanout with ~1.3x slack for split
-        # halves and overflow chunks.  Tiles cost g_capacity * tile * F/8
-        # bytes — the dominant HBM term — so over-allocating here is what
-        # used to force manual g_capacity at 10M+ scale.  Growth doubles
-        # (one recompile) if a run outpaces the slack.
+        # halves and overflow chunks, plus one scan window's worth of
+        # split/creation headroom (_scan_g_headroom — _ensure_capacity
+        # demands that much free space before every window).  Tiles cost
+        # g_capacity * tile * F/8 bytes — the dominant HBM term — so a
+        # cluster-level worst case must never size this table; in-table
+        # guards pend overflow rows and the flush boundary grows + retries.
         self.g_capacity = _next_pow2(
             g_capacity
             if g_capacity is not None
             else max(
                 256,
-                self.capacity * 13 // (10 * max(fanout, 1)),
-                2 * batch_size + 2,
+                self.capacity * 13 // (10 * max(fanout, 1))
+                + self._scan_g_headroom(),
             )
         )
         self.state = _init_state(
@@ -1250,11 +1272,6 @@ class BatchTree:
         # t=0.3 and +7% at t=0.65 with identical clusters; 16 starts to
         # lose at t=0.3 (longer stalls when a retry IS needed)
         self.split_interval = 8
-        self.split_k = 64  # oversized groups split per device dispatch
-        # Batches fused into one scan dispatch by fit_packed.  The scan body
-        # runs a split pass per batch, so a window is self-contained the way
-        # a split_interval segment of single-batch dispatches used to be.
-        self.scan_batches = 8
         self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
@@ -1271,6 +1288,13 @@ class BatchTree:
         g_num = int(self.state.g_num)
         self._g_upper = g_num
         return g_num
+
+    def _scan_g_headroom(self) -> int:
+        r"""Free group slots demanded before a scan window dispatches: 2x
+        the window's split-pass creations plus a generous estimate of
+        overflow-chunk creations (~4 per tile of rows)."""
+        k, m = self.scan_batches, self.batch_size
+        return 2 * k * (self.split_k + 4 * (m // self.tile + 4))
 
     def _ensure_capacity(
         self,
@@ -1344,12 +1368,25 @@ class BatchTree:
         k = self.scan_batches
         window = k * m
         on_device = isinstance(packed_fps, jax.Array)
-        if on_device and num % m:
-            # Pad once so every fused slice is full; windows whose trailing
-            # batches fall past the end read clamped (masked-invalid) rows
-            packed_fps = jnp.pad(packed_fps, ((0, m - num % m), (0, 0)))
+        if on_device and num < window:
+            # Rare small device input: pad once so the single window's
+            # slices stay in bounds
+            packed_fps = jnp.pad(packed_fps, ((0, window - num), (0, 0)))
         if not on_device and not isinstance(packed_fps, np.ndarray):
             packed_fps = np.asarray(packed_fps)
+
+        # Device-resident inputs are never padded in place (a pad is a 2x
+        # HBM copy of the whole input plus an extra compiled program in the
+        # hot path).  Full windows slice the staged array directly —
+        # trailing all-invalid batches read clamped rows, masked by the
+        # valid prefix — and a final partial window stages its rows into a
+        # small window-sized buffer so its partial batch stays in bounds.
+        # Batch composition (hence labels) is identical to the host path.
+        tail_buf = None
+        if on_device and num > window and num % window:
+            tail_buf = _stage_tail(
+                packed_fps, jnp.int32(num % window), window
+            )
 
         def upload(start: int) -> Array | None:
             stop = min(start + window, num)
@@ -1365,7 +1402,10 @@ class BatchTree:
             stop = min(start + window, num)
             n_valid = stop - start
             if on_device:
-                dev_buf, dev_start = packed_fps, start
+                if tail_buf is not None and n_valid < window:
+                    dev_buf, dev_start = tail_buf, 0
+                else:
+                    dev_buf, dev_start = packed_fps, start
             else:
                 dev_buf, dev_start = next_chunk, 0
                 next_chunk = upload(start + window)  # async prefetch
@@ -1373,6 +1413,29 @@ class BatchTree:
                 dev_buf, dev_start, n_valid, mol_arr[start:stop]
             )
         self.flush()
+
+    def warm_programs(self, dev_fps: Array) -> None:
+        r"""Execute the retry-path programs once with no-op inputs.
+
+        The flush-boundary retry path (`_slice_prep_fp_rows` + the
+        single-batch `_batch_step`) only runs when a window exhausts
+        ``max_rounds`` — rare, data-dependent, and expensive to hit for the
+        first time mid-run on backends where program load costs seconds.
+        Benchmarks and latency-sensitive callers warm them here; all calls
+        are mass-less (zero valid rows), so the tree state is unchanged.
+        """
+        m = self.batch_size
+        rows = _slice_prep_fp_rows(
+            dev_fps, jnp.int32(0), jnp.int32(0), m, self.n_features
+        )
+        self.state, _assigned, _enc = _batch_step(
+            self.state, *rows, jnp.float32(self.threshold),
+            jnp.float32(self.tolerance), criterion=self.merge_criterion,
+            block=self.route_block, max_rounds=self.max_rounds,
+            use_pallas=self.use_pallas_search, narrow=m // 4,
+        )
+        self._split_oversized_groups()
+        jax.block_until_ready(self.state.n)
 
     def _submit_scan(
         self,
@@ -1384,9 +1447,7 @@ class BatchTree:
         r"""Dispatch one fused k-batch scan window without a device sync."""
         m, k = self.batch_size, self.scan_batches
         self._ensure_capacity(
-            k * m,
-            g_incoming=2 * k * (self.split_k + 4 * (m // self.tile + 4)),
-            p_incoming=k * m,
+            k * m, g_incoming=self._scan_g_headroom(), p_incoming=k * m
         )
         self.state, assigned, encs = _scan_fit_packed(
             self.state, dev_fps, jnp.int32(start_row), jnp.int32(n_valid),

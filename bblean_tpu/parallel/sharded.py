@@ -396,13 +396,16 @@ class ShardedForest:
             if ls_capacity is not None
             else max(min(self.capacity // 4, 1 << 17), 2 * batch_size + 1)
         )
+        # Same sizing rule as BatchTree: steady-state group need plus one
+        # scan window's split/creation headroom (never a cluster-level
+        # worst case — tiles are the dominant HBM term)
         self.g_capacity = _next_pow2(
             g_capacity
             if g_capacity is not None
             else max(
                 256,
-                self.capacity * 13 // (10 * max(fanout, 1)),
-                2 * batch_size + 2,
+                self.capacity * 13 // (10 * max(fanout, 1))
+                + self._scan_g_headroom(),
             )
         )
         self._sharding = NamedSharding(self.mesh, P(axis_name))
@@ -446,6 +449,12 @@ class ShardedForest:
 
         self.state = grow(self.state)
         self.capacity, self.g_capacity, self.ls_capacity = new_c, new_g, new_p
+
+    def _scan_g_headroom(self) -> int:
+        r"""Free group slots demanded before a window dispatches (see
+        ``BatchTree._scan_g_headroom``)."""
+        k, m = self.scan_batches, self.batch_size
+        return 2 * k * (self.split_k + 4 * (m // self.tile + 4))
 
     def _ensure_capacity(
         self,
@@ -747,9 +756,7 @@ class ShardedForest:
     def _submit_window(self, dev_buf: Array, valids: np.ndarray) -> None:
         m, k = self.batch_size, self.scan_batches
         self._ensure_capacity(
-            k * m,
-            g_incoming=2 * k * (self.split_k + 4 * (m // self.tile + 4)),
-            p_incoming=k * m,
+            k * m, g_incoming=self._scan_g_headroom(), p_incoming=k * m
         )
         self.state, assigned, encs = self._fit_window_program(
             self.state, dev_buf,

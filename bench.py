@@ -40,9 +40,14 @@ def _timed_fit(dev_fps, threshold: float, capacity: int, ls_capacity: int):
             ls_capacity=ls_capacity,
         )
 
-    # Warm-up on a prefix: compiles every program at the final table shapes
+    # Warm-up on a prefix: compiles + first-executes every program the
+    # timed run can touch at the final table shapes (scan window, split
+    # pass, and the rare retry-path programs — on this backend a program's
+    # first execution costs seconds-to-minutes, so an unwarmed retry mid-
+    # timed-run would bill environment cost to the engine)
     warm = build()
     warm.fit_packed(dev_fps[: 1 << 16], range(1 << 16))
+    warm.warm_programs(dev_fps)
     jax.block_until_ready(warm.state.n)
     del warm
 
