@@ -76,6 +76,20 @@ __all__ = ["BatchTree", "BatchState"]
 
 _NEG = -2.0  # below any similarity
 
+_SORTED_SEARCH_OK: bool | None = None
+
+
+def _sorted_search_ok() -> bool:
+    r"""Once-per-process probe of the sorted Pallas tile search (compiles
+    AND validates against the XLA reference — see
+    ``ops.pallas_search2.sorted_search_supported``)."""
+    global _SORTED_SEARCH_OK
+    if _SORTED_SEARCH_OK is None:
+        from bblean_tpu.ops.pallas_search2 import sorted_search_supported
+
+        _SORTED_SEARCH_OK = sorted_search_supported()
+    return _SORTED_SEARCH_OK
+
 
 class BatchState(tp.NamedTuple):
     r"""Device-side depth-2 CF-tree (capacity-padded flat tables).
@@ -427,6 +441,35 @@ def _insert_round(
         return acc2 & (acc2_run == inc2_run)
 
     committed_sorted = _commit_pass2(acc_pref)
+
+    # ---- pool-capacity guard (merge side).  A promotion (a singleton
+    # candidate's first merge) allocates a sparse pool row; when the pool
+    # is full the allocating segment rolls back whole (its rows pend and
+    # the flush boundary grows the pool and retries) instead of the host
+    # reserving worst-case pool space per window — that reservation forced
+    # a pipeline-draining counter sync every other scan window.  Overflow
+    # promos are a suffix of the allocation cumsum, so survivors keep
+    # their refs unchanged.
+    p_cap_arr = state.ls.shape[0]
+    cand_ref_s = cand_ref[aorder]
+    cmt_i = committed_sorted.astype(jnp.int32)
+    cmt_cum = jnp.cumsum(cmt_i)
+    cmt_run = cmt_cum - (cmt_cum - cmt_i)[seg_start]
+    seg_any = committed_sorted & (cmt_run == 1)
+    promo_try = seg_any & (cand_ref_s < 0)
+    ref_promo_sorted = (
+        state.num_ls + jnp.cumsum(promo_try.astype(jnp.int32)) - 1
+    )
+    promo_ok = ~promo_try | (ref_promo_sorted < p_cap_arr - 1)
+    seg_ok = jax.ops.segment_min(
+        promo_ok.astype(jnp.int32), agrp, num_segments=m
+    )[agrp].astype(bool)
+    committed_sorted = committed_sorted & seg_ok
+    seg_any = seg_any & seg_ok
+    # One writer per surviving segment: promotions allocate, adders add
+    promo_sorted = promo_try & seg_ok
+    adder_sorted = seg_any & (cand_ref_s >= 0)
+    n_promo = jnp.sum(promo_sorted.astype(jnp.int32))
     merge_commit = jnp.zeros((m,), bool).at[aorder].set(committed_sorted)
 
     # ---- 4. leader election among rejected rows (per routed group) ----
@@ -482,6 +525,34 @@ def _insert_round(
     # while loop for no quality gain)
     creator = leader | (join & ~join_ok)
 
+    # ---- pool-capacity guard (create side).  Multi-member creations
+    # (leader + joiners) also allocate pool rows; allocation runs in row
+    # order, so non-fitting creations are the suffix of the cumsum and
+    # dropping them leaves survivors' refs contiguous.  Dropped creators
+    # (and their joiners) pend like full-tile creators do.  MUST run
+    # BEFORE tile positions are ranked: a killed creator that held a rank
+    # would leave a hole in its group's tile positions, and the next
+    # round's creation would collide with the row after the hole
+    # (t_slot overwrite = silent CF corruption).
+    gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
+        gj_ls[jgrp], unique_indices=True
+    )
+    gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(
+        gj_n[jgrp], unique_indices=True
+    )
+    pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
+    pool_created_n = jnp.where(join_ok, gj_full_n, row_n)
+    create_pool_try = creator & (pool_created_n >= 2)
+    ref_create = (
+        state.num_ls
+        + n_promo
+        + jnp.cumsum(create_pool_try.astype(jnp.int32))
+        - 1
+    )
+    create_ok = ~create_pool_try | (ref_create < p_cap_arr - 1)
+    creator = creator & create_ok
+    join_commit = join_commit & create_ok[lead_of]
+
     # ---- 5. tile positions for new clusters (per-group, index order);
     # creations into full tiles open a fresh overflow group so the step
     # always makes progress (host splits rebalance later) ----
@@ -503,13 +574,20 @@ def _insert_round(
     over_group = state.g_num + seg_base[seg_of_row] + (chunk - 1)
     fits = chunk == 0
     # Rows whose overflow group would exceed capacity pend; the host
-    # grows the tables and retries (keeps capacity checks sync-free)
+    # grows the tables and retries (keeps capacity checks sync-free).
+    # Within each routed-group segment over_group is monotone in rank, so
+    # these kills are a rank suffix — survivors' positions stay contiguous
+    # (no tile-position holes, unlike a row-order kill would leave).
     g_cap_arr = state.g_ls.shape[0]
     fits_g = fits | (over_group < g_cap_arr - 1)
     tgt_group = jnp.where(fits, row_group, over_group)
     tgt_pos = jnp.where(fits, new_pos, new_pos % tile)
     create_commit = creator & fits_g
     join_commit = join_commit & fits_g[lead_of]
+    # Pool refs of fits_g-killed multi-member creators stay consumed (the
+    # cumsum above already skipped past them) — a rare, tiny pool leak in
+    # exchange for hole-free positions and contiguous surviving refs
+    create_pool = create_pool_try & create_ok & fits_g
 
     lead_rank = jnp.cumsum(create_commit.astype(jnp.int32)) - 1
     new_slot = state.num + lead_rank
@@ -549,12 +627,6 @@ def _insert_round(
     # within this step; the post-loop refresh rebuilds every touched tile
     # entry from the CF truth (recomputing gathered centroids every round
     # cost ~10 ms/round) ----
-    gj_full_ls = jnp.zeros_like(row_ls).at[jorder].set(
-        gj_ls[jgrp], unique_indices=True
-    )
-    gj_full_n = jnp.zeros((m,), jnp.int32).at[jorder].set(
-        gj_n[jgrp], unique_indices=True
-    )
     created_ls = jnp.where(
         (join_ok & fits)[:, None], gj_full_ls, row_ls
     )
@@ -585,36 +657,18 @@ def _insert_round(
     # PRE-AGGREGATED per candidate segment (one writer row each) —
     # per-row scatter-adds serialize whenever many rows hit the same
     # hot cluster, which is the norm at low thresholds. ----
-    p_cap_arr = state.ls.shape[0]
-    cand_ref_s = cand_ref[aorder]
     seg_add_ls = jax.ops.segment_sum(
         jnp.where(committed_sorted[:, None], row_ls[aorder], 0),
         agrp,
         num_segments=m,
     )[agrp]  # (M, F): each sorted row -> its segment's committed sum
-    # One writer per segment: the FIRST COMMITTED row (pass 2 may exclude
-    # the segment's first sorted row while later rows commit)
-    cmt_i = committed_sorted.astype(jnp.int32)
-    cmt_cum = jnp.cumsum(cmt_i)
-    cmt_run = cmt_cum - (cmt_cum - cmt_i)[seg_start]
-    seg_any = committed_sorted & (cmt_run == 1)
-    promo_sorted = seg_any & (cand_ref_s < 0)
-    adder_sorted = seg_any & (cand_ref_s >= 0)
-    pool_created_ls = jnp.where(join_ok[:, None], gj_full_ls, row_ls)
-    pool_created_n = jnp.where(join_ok, gj_full_n, row_n)
-    create_pool = create_commit & (pool_created_n >= 2)
-    n_promo = jnp.sum(promo_sorted.astype(jnp.int32))
-    ref_promo_sorted = (
-        state.num_ls + jnp.cumsum(promo_sorted.astype(jnp.int32)) - 1
-    )
-    ref_create = (
+    # Advance past every CONSUMED ref (incl. fits_g-killed creators'):
+    # survivors' refs are interleaved with the killed ones, so advancing
+    # only by the committed count would hand a written ref out again
+    num_ls = (
         state.num_ls
         + n_promo
-        + jnp.cumsum(create_pool.astype(jnp.int32))
-        - 1
-    )
-    num_ls = (
-        state.num_ls + n_promo + jnp.sum(create_pool.astype(jnp.int32))
+        + jnp.sum((create_pool_try & create_ok).astype(jnp.int32))
     )
     pool = state.ls.at[
         jnp.where(promo_sorted, ref_promo_sorted, p_cap_arr)
@@ -979,8 +1033,11 @@ def _split_groups_device_impl(
     ].set(t_slot, mode="drop", unique_indices=True)
 
     # Cluster -> (group, pos) updates; masked writes drop via OOB indices
-    # (a shared guard slot would serialize the duplicate updates)
-    c_cap = state.ls.shape[0]
+    # (a shared guard slot would serialize the duplicate updates).  The
+    # sentinel must be the CLUSTER capacity: using the (smaller) pool
+    # capacity here silently rewrote slot `ls_capacity`'s group/pos on
+    # every split whenever ls_capacity < capacity.
+    c_cap = state.n.shape[0]
     live = occupied & active[:, None]
     flat_slot = jnp.where(live, t_slot, c_cap).reshape(-1)
     member_grp = jnp.where(to_new, new_gs[:, None], gs[:, None])
@@ -1171,6 +1228,54 @@ def _prep_buffer_rows(row_ls: Array, row_n: Array):
     return row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_features", "block", "use_pallas")
+)
+def _predict_step(
+    state: BatchState,
+    packed: Array,  # (M, F8) uint8 query rows
+    valid: Array,  # (M,) bool
+    *,
+    n_features: int,
+    block: int,
+    use_pallas: bool,
+) -> tuple[Array, Array]:
+    r"""Read-only nearest-cluster probe: route each query to its best group
+    (MXU matmul over routing centroids) and score that group's packed tile.
+
+    As a STANDALONE dispatch this is exactly the regime where the sorted
+    Pallas search beats the XLA gather 3.6-15x (one tile DMA per distinct
+    group instead of per row — ``ops/pallas_search2.py`` header for the
+    v5e measurements), so callers enable ``use_pallas`` whenever the
+    backend probe passes; inside the fused fit step the same kernel loses
+    ~5% to XLA's fused gather, which is why fitting keeps it opt-in.
+    """
+    bits = unpack_fingerprints_device(packed, n_features)
+    row_cent = bits.astype(jnp.bfloat16)
+    row_pop = jnp.sum(bits.astype(jnp.int32), axis=-1)
+    row_group = _route_groups(
+        row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
+        valid, block,
+    )
+    m = packed.shape[0]
+    f8_ = packed.shape[1]
+    fc_ = state.t_pk.shape[1]
+    guard_g = state.g_ls.shape[0] - 1
+    if use_pallas and m % 64 == 0 and f8_ % 128 == 0 and fc_ % 128 == 0:
+        from bblean_tpu.ops.pallas_search2 import tile_search_sorted
+
+        best_sim, best_slot = tile_search_sorted(
+            packed, row_pop, row_group, state.t_pk, state.t_pops,
+            state.t_slot, valid, guard_group=guard_g,
+        )
+    else:
+        best_sim, best_slot = _search_tiles(
+            packed, row_pop, row_group, state.t_pk, state.t_pops,
+            state.t_slot, valid,
+        )
+    return best_sim, jnp.where(best_sim > -1.5, best_slot, -1)
+
+
 class BatchTree:
     r"""Host driver for the batched device engine (data plane on device,
     topology control plane on host).
@@ -1216,9 +1321,7 @@ class BatchTree:
         # Gated on a one-time backend probe: CPU backends (tests, fallback
         # deployments) silently use the XLA search instead
         if use_pallas_search:
-            from bblean_tpu.ops.pallas_search2 import sorted_search_supported
-
-            use_pallas_search = sorted_search_supported()
+            use_pallas_search = _sorted_search_ok()
         self.use_pallas_search = use_pallas_search
         self.capacity = _next_pow2(
             max(initial_capacity, 2 * batch_size + 1)
@@ -1446,8 +1549,12 @@ class BatchTree:
     ) -> None:
         r"""Dispatch one fused k-batch scan window without a device sync."""
         m, k = self.batch_size, self.scan_batches
+        # p_incoming=0: pool allocations are guarded IN-STEP (overflow rows
+        # pend and the flush grows + retries), so the host never reserves
+        # worst-case pool space — a k*m reservation forced a counter sync
+        # every other window (~410 ms pipeline drain each at t=0.65)
         self._ensure_capacity(
-            k * m, g_incoming=self._scan_g_headroom(), p_incoming=k * m
+            k * m, g_incoming=self._scan_g_headroom(), p_incoming=0
         )
         self.state, assigned, encs = _scan_fit_packed(
             self.state, dev_fps, jnp.int32(start_row), jnp.int32(n_valid),
@@ -1458,7 +1565,8 @@ class BatchTree:
             narrow=m // 4, split_k=self.split_k, fanout=self.fanout,
         )
         self._num_upper += n_valid
-        self._ls_upper += n_valid
+        # _ls_upper intentionally not advanced: the in-step pool guard
+        # makes over-allocation impossible and flush() refreshes the bound
         self._g_upper += k * self.split_k + max(
             16, 4 * (n_valid // self.tile + 1)
         )
@@ -1564,8 +1672,32 @@ class BatchTree:
         queue, self._boundary_queue = self._boundary_queue, []
         if queue:
             flat = np.asarray(  # one device pull for every queued enc
-                jnp.concatenate([jnp.atleast_1d(q["enc"]) for q in queue])
+                jnp.concatenate(
+                    [jnp.atleast_1d(q["enc"]) for q in queue]
+                    # Piggyback the true table counters on the same fetch:
+                    # refreshing the host's upper bounds here is free (the
+                    # pull syncs anyway), while letting them drift makes
+                    # _ensure_capacity take its own pipeline-draining sync
+                    # every other window (measured ~410 ms each at t=0.65)
+                    + [
+                        jnp.stack(
+                            [
+                                self.state.num,
+                                self.state.g_num,
+                                self.state.num_ls,
+                            ]
+                        )
+                    ]
+                )
             )
+            self._num_upper = int(flat[-3])
+            self._g_upper = int(flat[-2])
+            self._ls_upper = int(flat[-1])
+            flat = flat[:-3]
+            # Proactive pool headroom while the counters are fresh (sync-
+            # free here): mid-cycle pool exhaustion is survivable (the
+            # in-step guard pends rows) but costs retry dispatches
+            self._ensure_capacity(0, g_incoming=0, p_incoming=2 * self.batch_size)
             offset = 0
             for q in queue:
                 size = 1 if np.ndim(q["enc"]) == 0 else q["enc"].shape[0]
@@ -1928,6 +2060,44 @@ class BatchTree:
             (n > 1)[:, None], ls >= (n[:, None] * 0.5), np.clip(ls, 0, 1)
         ).astype(np.uint8)
         return np.packbits(cent, axis=-1)
+
+    def predict_packed(
+        self, packed_fps: np.ndarray, *, batch: int = 8192
+    ) -> tuple[np.ndarray, np.ndarray]:
+        r"""Nearest-cluster probe for new (packed) fingerprints, read-only.
+
+        Returns ``(slots, sims)``: the best cluster slot per query (same id
+        space as :meth:`assignments`; -1 when the tree is empty) and the
+        Tanimoto similarity to that cluster's centroid.  The depth-2 search
+        the engine fits with: queries route to their best group, then score
+        the group's packed tile — the TPU analogue of the reference sklearn
+        adapter's ``predict`` (jaccard argmin over subcluster centers,
+        ``bblean/sklearn.py:123-137``).
+
+        Runs the sorted Pallas tile search whenever the backend supports it
+        (standalone dispatches are where it wins 3.6-15x over the XLA
+        gather); shape-misaligned or unsupported configs fall back to XLA.
+        """
+        self.flush()
+        num = len(packed_fps)
+        use_pallas = self.use_pallas_search or _sorted_search_ok()
+        slots = np.empty(num, np.int64)
+        sims = np.empty(num, np.float64)
+        for start in range(0, num, batch):
+            chunk = np.asarray(packed_fps[start : start + batch])
+            n_valid = len(chunk)
+            if n_valid < batch:
+                chunk = np.pad(chunk, ((0, batch - n_valid), (0, 0)))
+            valid = np.zeros(batch, bool)
+            valid[:n_valid] = True
+            sim, slot = _predict_step(
+                self.state, jnp.asarray(chunk), jnp.asarray(valid),
+                n_features=self.n_features, block=self.route_block,
+                use_pallas=use_pallas,
+            )
+            slots[start : start + n_valid] = np.asarray(slot)[:n_valid]
+            sims[start : start + n_valid] = np.asarray(sim)[:n_valid]
+        return slots, sims
 
 
 def _next_pow2(x: int) -> int:

@@ -755,8 +755,10 @@ class ShardedForest:
 
     def _submit_window(self, dev_buf: Array, valids: np.ndarray) -> None:
         m, k = self.batch_size, self.scan_batches
+        # p_incoming=0: pool allocations are guarded in-step (see
+        # BatchTree._submit_scan)
         self._ensure_capacity(
-            k * m, g_incoming=self._scan_g_headroom(), p_incoming=k * m
+            k * m, g_incoming=self._scan_g_headroom(), p_incoming=0
         )
         self.state, assigned, encs = self._fit_window_program(
             self.state, dev_buf,
@@ -769,7 +771,8 @@ class ShardedForest:
         )
         n_valid = int(valids.max(initial=0))
         self._num_upper += n_valid
-        self._ls_upper += n_valid
+        # _ls_upper intentionally not advanced: the in-step pool guard
+        # makes over-allocation impossible and flush() refreshes the bound
         self._g_upper += k * self.split_k + max(
             16, 4 * (n_valid // self.tile + 1)
         )
@@ -790,8 +793,33 @@ class ShardedForest:
         queue, self._boundary_queue = self._boundary_queue, []
         if queue:
             encs = np.asarray(
-                jnp.concatenate([q["enc"] for q in queue], axis=1)
-            )  # (D, sum_k)
+                jnp.concatenate(
+                    [q["enc"] for q in queue]
+                    # Refresh the host upper bounds on the same fetch (free
+                    # here; letting them drift costs _ensure_capacity its
+                    # own pipeline-draining sync — see BatchTree.flush)
+                    + [
+                        jnp.stack(
+                            [
+                                self.state.num,
+                                self.state.g_num,
+                                self.state.num_ls,
+                            ],
+                            axis=1,
+                        )
+                    ],
+                    axis=1,
+                )
+            )  # (D, sum_k + 3)
+            self._num_upper = int(encs[:, -3].max())
+            self._g_upper = int(encs[:, -2].max())
+            self._ls_upper = int(encs[:, -1].max())
+            encs = encs[:, :-3]
+            # Proactive pool headroom while the counters are fresh (see
+            # BatchTree.flush)
+            self._ensure_capacity(
+                0, g_incoming=0, p_incoming=2 * self.batch_size
+            )
             offset = 0
             for q in queue:
                 kq = q["enc"].shape[1]

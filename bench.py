@@ -77,13 +77,17 @@ def main() -> None:
     jax.block_until_ready(dev_fps)
 
     # Primary: the reference's default threshold (merge-heavy regime).
-    # Capacities sized so no mid-run growth recompiles occur.
+    # Capacities sized so the timed run never grows a table NOR drifts its
+    # host-side upper bounds into a capacity-edge sync (the run ends at
+    # ~395k clusters / ~1.3k pool rows; one scan window may demand 65k free
+    # cluster+pool slots before the flush refreshes the bounds).
     rate03, dt03, num03 = _timed_fit(
         dev_fps, threshold=0.30, capacity=1 << 19, ls_capacity=1 << 18
     )
-    # Secondary: the singleton-heavy regime (sparse pool: ~1M clusters)
+    # Secondary: the singleton-heavy regime (~983k clusters, tiny pool —
+    # but the pool must still hold two windows of upper-bound drift)
     rate65, dt65, num65 = _timed_fit(
-        dev_fps, threshold=0.65, capacity=1 << 20, ls_capacity=1 << 16
+        dev_fps, threshold=0.65, capacity=1 << 20, ls_capacity=1 << 18
     )
 
     from bblean_tpu._memory import device_memory_stats

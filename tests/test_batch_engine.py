@@ -327,3 +327,76 @@ def test_serial_limit_bit_identical_to_exact(threshold) -> None:
         _first_occurrence_canon(exact_labels),
         _first_occurrence_canon(batch_labels),
     )
+
+
+def test_pool_overflow_guard_grows_and_stays_exact() -> None:
+    r"""A linear-sum pool sized far below the multi-member cluster count
+    forces the in-step pool guard to pend allocations mid-window; the
+    flush boundary grows the pool and retries.  Every row must still land
+    and every cluster's linear sum must equal the numpy sum of its members
+    (CF integrity under transient pool exhaustion)."""
+    rng = np.random.default_rng(7)
+    base = (rng.random((64, 2048)) < 0.35).astype(np.uint8)
+    fps = np.repeat(base, 8, axis=0)  # 512 rows -> ~64 multi-member cls
+    perm = rng.permutation(len(fps))
+    fps = fps[perm]
+    tree = BatchTree(
+        2048,
+        threshold=0.3,
+        batch_size=64,
+        initial_capacity=1024,
+        ls_capacity=8,  # pool exhausted within the first scan window
+    )
+    tree.insert_fps(fps, range(len(fps)))
+    labels = tree.assignments()
+    assert (labels >= 0).all()
+    sizes = tree.cluster_sizes()
+    assert int(sizes.sum()) == len(fps)
+    assert tree.ls_capacity > 8  # the guard forced growth
+    ls = tree.linear_sums()
+    for c in range(tree.num_clusters):
+        members = fps[labels == c]
+        np.testing.assert_array_equal(ls[c], members.sum(axis=0))
+
+
+def test_predict_packed_matches_bruteforce() -> None:
+    r"""predict_packed returns a valid cluster slot whose centroid
+    similarity matches a host-side recomputation, and on well-separated
+    data it finds the globally best centroid."""
+    from bblean_tpu._np_similarity import _jt_sim_arr_vec_packed
+
+    rng = np.random.default_rng(11)
+    # 6 well-separated dense prototypes + member noise
+    protos = (rng.random((6, 2048)) < 0.5).astype(np.uint8)
+    members = np.repeat(protos, 40, axis=0)
+    flips = rng.random(members.shape) < 0.01
+    members = np.where(flips, 1 - members, members).astype(np.uint8)
+    tree = _fit_batch(members, 0.5, batch_size=64, initial_capacity=512)
+
+    queries = np.where(
+        rng.random((32, 2048)) < 0.01, 1 - protos[rng.integers(0, 6, 32)],
+        protos[rng.integers(0, 6, 32)],
+    ).astype(np.uint8)
+    # Identity queries ensure an in-tree nearest exists
+    queries[:6] = protos
+    q_packed = np.packbits(queries, axis=-1)
+    slots, sims = tree.predict_packed(q_packed, batch=64)
+    assert (slots >= 0).all() and (slots < tree.num_clusters).all()
+
+    cents = tree.packed_centroids()
+    for q, slot, sim in zip(q_packed, slots, sims):
+        all_sims = _jt_sim_arr_vec_packed(cents, q)
+        # reported similarity equals the true query<->centroid Tanimoto
+        np.testing.assert_allclose(sim, all_sims[slot], atol=1e-6)
+        # and is the global best (separated prototypes -> depth-2 == flat)
+        np.testing.assert_allclose(sim, all_sims.max(), atol=1e-6)
+
+
+def test_predict_packed_empty_and_partial_batch() -> None:
+    fps = make_fake_fingerprints(100, seed=9, pack=False)
+    tree = _fit_batch(fps, 0.3)
+    q = np.packbits(fps[:7], axis=-1)  # partial batch (7 < batch)
+    slots, sims = tree.predict_packed(q, batch=64)
+    assert slots.shape == (7,)
+    assert (slots >= 0).all()
+    assert (sims > 0.2).all()  # each query has a nearby cluster
