@@ -298,6 +298,7 @@ def _insert_round(
     pending: Array,
     assigned: Array,
     strikes: Array,
+    row_group: Array,
     row_ls: Array,
     row_n: Array,
     row_cent: Array,
@@ -307,8 +308,8 @@ def _insert_round(
     tolerance: Array,
     *,
     criterion: str,
-    block: int,
     use_pallas: bool,
+    row_sims: Array | None = None,
 ) -> tuple[BatchState, Array, Array, Array]:
     r"""One insertion round over a row window of any width.
 
@@ -316,6 +317,17 @@ def _insert_round(
     through their RELATIVE order, so running a round over a compacted
     subset of the rows commits exactly what the full-width round would —
     this is what makes the narrow retry rounds label-preserving.
+
+    ``row_group`` is the per-row routed group, computed ONCE per batch step
+    (`_route_groups`): within a step the routing inputs never change —
+    ``g_cent``/``g_pops`` refresh only in ``_refresh_touched`` after the
+    round loop, and groups created mid-step keep zero centroids (similarity
+    exactly 0, never an argmax winner over a live group) — so re-routing
+    every round returned the identical assignment while paying the
+    O(M*G_live*F) matmul again, the term that grows with cluster count.
+    ``row_sims`` optionally carries the step-constant all-pairs row
+    Tanimoto matrix for the leader election (same argument: it depends
+    only on the rows); pass None to compute it in-round (narrow windows).
     """
     m, n_features = row_ls.shape
     tile = state.t_pk.shape[1]
@@ -323,12 +335,6 @@ def _insert_round(
     row_idx = lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
     guard_g = state.g_ls.shape[0] - 1
     force_lead = strikes >= 2
-
-    # ---- 1. route rows to groups (MXU) ----
-    row_group = _route_groups(
-        row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
-        pending, block,
-    )
 
     # ---- 2. in-group candidate search (VPU over packed tiles) ----
     # The compiled kernel needs lane-aligned shapes; narrow retry windows
@@ -479,14 +485,20 @@ def _insert_round(
         join = jnp.zeros((m,), bool)
         lead_of = row_idx
     else:
-        rcent = jnp.where(rejected[:, None], row_cent, 0)
-        rsims = lax.dot_general(
-            rcent, rcent, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rpop = jnp.where(rejected, row_pop, 0)
-        runion = rpop[:, None] + rpop[None, :] - rsims
-        rsims = rsims / jnp.maximum(runion, 1.0)
+        if row_sims is not None:
+            # Step-constant all-pairs sims: every use below is gated on
+            # both endpoints being rejected, where the masked and unmasked
+            # computations agree exactly
+            rsims = row_sims
+        else:
+            rcent = jnp.where(rejected[:, None], row_cent, 0)
+            rsims = lax.dot_general(
+                rcent, rcent, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rpop = jnp.where(rejected, row_pop, 0)
+            runion = rpop[:, None] + rpop[None, :] - rsims
+            rsims = rsims / jnp.maximum(runion, 1.0)
         same_group = row_group[:, None] == row_group[None, :]
         lower = row_idx[None, :] < row_idx[:, None]  # [j, i]: i < j
         sim_to_lower = jnp.where(
@@ -750,7 +762,29 @@ def _batch_step_impl(
     ``narrow=0`` disables the narrow phase.
     """
     m, _n_features = row_ls.shape
-    kw = dict(criterion=criterion, block=block, use_pallas=use_pallas)
+    kw = dict(criterion=criterion, use_pallas=use_pallas)
+
+    # Step-constant work, hoisted out of the round loop (the routing
+    # inputs and the rows never change within a step — see _insert_round):
+    # the O(M*G_live*F) route matmul is the one per-round term that grows
+    # with the cluster count, so paying it once instead of once per round
+    # is what keeps large-scale throughput near the small-scale rate.
+    pending0 = row_n > 0
+    row_group = _route_groups(
+        row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,
+        pending0, block,
+    )
+    if criterion != "never-merge":
+        row_sims = lax.dot_general(
+            row_cent, row_cent, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        union = (row_pop[:, None] + row_pop[None, :]).astype(
+            jnp.float32
+        ) - row_sims
+        row_sims = row_sims / jnp.maximum(union, 1.0)
+    else:
+        row_sims = None
 
     def wide_cond(carry):
         _state, pending, _assigned, _strikes, r = carry
@@ -761,13 +795,12 @@ def _batch_step_impl(
     def wide_body(carry):
         state, pending, assigned, strikes, r = carry
         state, pending, assigned, strikes = _insert_round(
-            state, pending, assigned, strikes,
+            state, pending, assigned, strikes, row_group,
             row_ls, row_n, row_cent, row_pk, row_pop,
-            threshold, tolerance, **kw,
+            threshold, tolerance, row_sims=row_sims, **kw,
         )
         return (state, pending, assigned, strikes, r + 1)
 
-    pending0 = row_n > 0
     assigned0 = jnp.full((m,), -1, jnp.int32)
     strikes0 = jnp.zeros((m,), jnp.int32)
     carry = lax.while_loop(
@@ -790,9 +823,11 @@ def _batch_step_impl(
             order = jnp.argsort(~pending, stable=True)
             sel = order[:mn]
             sub_pending = pending[sel]
+            # row_sims=None: recomputing the (narrow x narrow) sims is
+            # cheaper than gathering the scattered rows of the full matrix
             state, sub_pending, sub_assigned, sub_strikes = _insert_round(
                 state, sub_pending, jnp.full((mn,), -1, jnp.int32),
-                strikes[sel],
+                strikes[sel], row_group[sel],
                 row_ls[sel], row_n[sel], row_cent[sel], row_pk[sel],
                 row_pop[sel], threshold, tolerance, **kw,
             )

@@ -92,8 +92,14 @@ def main() -> None:
 
     from bblean_tpu._memory import device_memory_stats
 
-    hbm = device_memory_stats() or {}
-    hbm_peak_gib = round(hbm.get("peak_bytes_in_use", 0) / 2**30, 2)
+    # None when the backend exposes no memory stats (e.g. the axon TPU
+    # tunnel) — report null rather than a misleading 0.0
+    hbm = device_memory_stats()
+    hbm_peak_gib = (
+        round(hbm["peak_bytes_in_use"] / 2**30, 2)
+        if hbm and "peak_bytes_in_use" in hbm
+        else None
+    )
 
     print(
         json.dumps(

@@ -1,0 +1,91 @@
+r"""Real-chip bench line for the SPMD sharded engine (VERDICT-r2 #1).
+
+Runs the same 1M x 2048-bit workload as ``bench.py`` through
+``ShardedForest`` on every visible device (one v5e chip in this
+environment => a 1-device mesh: the full streaming + window dispatch +
+merge-reduction control plane, minus cross-device ppermute traffic) and
+prints wall time and throughput next to the single-chip ``BatchTree``
+number for the same threshold.
+
+On real multi-chip hardware the same script times the full reduction.
+
+    python benchmarks/sharded_1m_tpu.py [n_millions] [threshold]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    n_millions = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.30
+    n = int(n_millions * 1_000_000)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from bblean_tpu.fingerprints import make_fake_fingerprints
+    from bblean_tpu.parallel import ShardedForest, get_mesh
+
+    fps = make_fake_fingerprints(n, seed=12620509540149709235)
+    mesh = get_mesh()
+    d = int(mesh.devices.size)
+
+    def build() -> ShardedForest:
+        return ShardedForest(
+            2048,
+            mesh,
+            threshold=threshold,
+            batch_size=8192,
+            initial_capacity=1 << 19,
+            ls_capacity=1 << 18,
+        )
+
+    # Warm-up: compiles + first-executes the window/split/merge programs
+    warm = build()
+    warm.fit_packed(fps[: 1 << 16])
+    warm.merge()
+    _ = warm.num_clusters
+    del warm
+
+    forest = build()
+    t0 = time.perf_counter()
+    forest.fit_packed(fps)
+    fit_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    forest.merge()
+    num = forest.num_clusters  # device sync
+    merge_s = time.perf_counter() - t1
+    wall = fit_s + merge_s
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"sharded_fps_per_sec_{n // 1000}k_t{threshold}_"
+                    f"{d}dev"
+                ),
+                "value": round(n / wall, 1),
+                "unit": "fingerprints/s",
+                "wall_s": round(wall, 2),
+                "fit_s": round(fit_s, 2),
+                "merge_s": round(merge_s, 2),
+                "n_clusters": int(num),
+                "n_devices": d,
+                "state_bytes_per_device_gib": round(
+                    forest.state_bytes_per_device() / 2**30, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
