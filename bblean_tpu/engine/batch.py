@@ -1167,7 +1167,25 @@ def _scan_fit_packed_impl(
             block=block, max_rounds=max_rounds, use_pallas=use_pallas,
             narrow=narrow,
         )
-        state, _ = _split_topk_impl(state, k=split_k, fanout=fanout)
+        # Split pass on the window's LAST batch only (the pre-scan control
+        # plane's split_interval=8 cadence — groups may exceed fanout for a
+        # few batches; tiles hold `tile` >= fanout entries so routing stays
+        # correct, and the in-table guards pend rows if a tile truly fills),
+        # and additionally whenever a group tile is nearly FULL (capacity
+        # safety, the rare case).  Gating with cond skips the split program
+        # entirely on the other batches, which is most of them.
+        g_cap = state.g_count.shape[0]
+        live = lax.broadcasted_iota(jnp.int32, (g_cap, 1), 0)[:, 0] < state.g_num
+        counts = jnp.where(live, state.g_count, 0)
+        tile_cap = state.t_pk.shape[1]
+        near_full = jnp.any(counts > jnp.int32(max(fanout, tile_cap - tile_cap // 4)))
+        do_split = near_full | ((i == k - 1) & jnp.any(counts > fanout))
+        state = lax.cond(
+            do_split,
+            lambda s: _split_topk_impl(s, k=split_k, fanout=fanout)[0],
+            lambda s: s,
+            state,
+        )
         return state, (assigned, enc)
 
     state, (assigned, encs) = lax.scan(
