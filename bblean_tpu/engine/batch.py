@@ -1167,18 +1167,21 @@ def _scan_fit_packed_impl(
             block=block, max_rounds=max_rounds, use_pallas=use_pallas,
             narrow=narrow,
         )
-        # Split pass on the window's LAST batch only (the pre-scan control
-        # plane's split_interval=8 cadence — groups may exceed fanout for a
-        # few batches; tiles hold `tile` >= fanout entries so routing stays
-        # correct, and the in-table guards pend rows if a tile truly fills),
-        # and additionally whenever a group tile is nearly FULL (capacity
-        # safety, the rare case).  Gating with cond skips the split program
-        # entirely on the other batches, which is most of them.
+        # Per-batch split pass whenever a group exceeds fanout (rebalancing
+        # MATTERS FOR QUALITY in the merge-heavy regime: overflow chunk
+        # groups fragment a hot group's candidate tile, rows stop seeing
+        # the cluster they belong to and create duplicates — deferring
+        # splits to the window tail measured +6.8% clusters at 1M t=0.3).
+        # The near-full OR-term also fires between window tails so tiles
+        # rarely overflow at all.  The cond's identity branch is cheap
+        # relative to the split program only because XLA aliases the
+        # untouched tables; measured within noise of the unconditional
+        # per-batch split, kept for the regimes where groups stay small.
         g_cap = state.g_count.shape[0]
         live = lax.broadcasted_iota(jnp.int32, (g_cap, 1), 0)[:, 0] < state.g_num
         counts = jnp.where(live, state.g_count, 0)
         tile_cap = state.t_pk.shape[1]
-        near_full = jnp.any(counts > jnp.int32(max(fanout, tile_cap - tile_cap // 4)))
+        near_full = jnp.any(counts > jnp.int32(tile_cap - 16))
         do_split = near_full | ((i == k - 1) & jnp.any(counts > fanout))
         state = lax.cond(
             do_split,
@@ -1633,12 +1636,31 @@ class BatchTree:
                 "start": start_row,
                 "n_valid": n_valid,
                 "enc": encs,
+                # Sync payload captured AT SUBMIT TIME: pulling it later
+                # waits only for THIS window's program, not for whatever
+                # was dispatched afterwards.  Piggybacks the true table
+                # counters on the same fetch (refreshing the host's upper
+                # bounds is free here, while letting them drift makes
+                # _ensure_capacity take its own pipeline-draining sync).
+                "sync": jnp.concatenate(
+                    [
+                        encs,
+                        jnp.stack(
+                            [
+                                self.state.num,
+                                self.state.g_num,
+                                self.state.num_ls,
+                            ]
+                        ),
+                    ]
+                ),
             }
         )
-        # Keep one window in flight: flushing at depth 2 pulls window w-1's
-        # encs while window w computes, so the host never idles the device
-        if len(self._boundary_queue) >= 2:
-            self.flush()
+        # Keep one window in flight: popping ONLY the oldest entry blocks
+        # on window w-1 (already done while w computes), so the device
+        # never drains — a full flush here would block on window w itself
+        while len(self._boundary_queue) >= 2:
+            self._process_oldest_boundary()
 
     def insert_fps(
         self, unpacked_fps: np.ndarray, mol_indices: tp.Sequence[int]
@@ -1721,47 +1743,53 @@ class BatchTree:
             self.flush()
 
     def flush(self) -> None:
-        r"""Process the deferred boundary: pending retries + split pass."""
-        queue, self._boundary_queue = self._boundary_queue, []
-        if queue:
-            flat = np.asarray(  # one device pull for every queued enc
-                jnp.concatenate(
-                    [jnp.atleast_1d(q["enc"]) for q in queue]
-                    # Piggyback the true table counters on the same fetch:
-                    # refreshing the host's upper bounds here is free (the
-                    # pull syncs anyway), while letting them drift makes
-                    # _ensure_capacity take its own pipeline-draining sync
-                    # every other window (measured ~410 ms each at t=0.65)
-                    + [
-                        jnp.stack(
-                            [
-                                self.state.num,
-                                self.state.g_num,
-                                self.state.num_ls,
-                            ]
-                        )
-                    ]
-                )
+        r"""Drain every deferred boundary, then a final split pass."""
+        while self._boundary_queue:
+            self._process_oldest_boundary()
+        self._split_oversized_groups()
+
+    def _process_oldest_boundary(self) -> None:
+        r"""Pop and settle the OLDEST deferred boundary entry.
+
+        For scan windows the pull reads the entry's submit-time ``sync``
+        payload, so it blocks only on that window's program — newer
+        windows already dispatched keep the device busy during the pull
+        (true depth-2 pipelining; draining the whole queue here instead
+        was measured to idle the device ~300 ms every other window at 1M
+        t=0.65 through the TPU tunnel).
+        """
+        q = self._boundary_queue.pop(0)
+        k = self.scan_batches
+        if "sync" in q:
+            flat = np.asarray(q["sync"])  # blocks on THIS window only
+            pending = flat[:-3] // 1000
+            # True table counters as of this window, plus the worst-case
+            # contributions of the newer windows still in flight
+            extra_rows = sum(
+                q2["n_valid"] for q2 in self._boundary_queue
             )
-            self._num_upper = int(flat[-3])
-            self._g_upper = int(flat[-2])
-            self._ls_upper = int(flat[-1])
-            flat = flat[:-3]
+            extra_g = sum(
+                k * self.split_k
+                + max(16, 4 * (q2["n_valid"] // self.tile + 1))
+                for q2 in self._boundary_queue
+            )
+            self._num_upper = int(flat[-3]) + extra_rows
+            self._g_upper = int(flat[-2]) + extra_g
+            self._ls_upper = int(flat[-1]) + extra_rows
             # Proactive pool headroom while the counters are fresh (sync-
             # free here): mid-cycle pool exhaustion is survivable (the
             # in-step guard pends rows) but costs retry dispatches
-            self._ensure_capacity(0, g_incoming=0, p_incoming=2 * self.batch_size)
-            offset = 0
-            for q in queue:
-                size = 1 if np.ndim(q["enc"]) == 0 else q["enc"].shape[0]
-                pending = flat[offset : offset + size] // 1000
-                offset += size
-                if (pending > 0).any():
-                    if q.get("kind") == "scan":
-                        self._retry_scan(q, pending)
-                    else:
-                        self._retry_batch(q)
-        self._split_oversized_groups()
+            self._ensure_capacity(
+                0, g_incoming=0, p_incoming=2 * self.batch_size
+            )
+            if (pending > 0).any():
+                self._retry_scan(q, pending)
+                self._split_oversized_groups()
+        else:
+            enc = int(np.asarray(q["enc"]))
+            if enc // 1000 > 0:
+                self._retry_batch(q)
+                self._split_oversized_groups()
 
     def _retry_batch(self, q: dict) -> None:
         r"""Drain a batch whose step exhausted max_rounds (rare): split, mask

@@ -85,9 +85,14 @@ def main() -> None:
         dev_fps, threshold=0.30, capacity=1 << 19, ls_capacity=1 << 18
     )
     # Secondary: the singleton-heavy regime (~983k clusters, tiny pool —
-    # but the pool must still hold two windows of upper-bound drift)
+    # but the pool must still hold two windows of upper-bound drift).
+    # capacity 1<<21, NOT 1<<20: the run ends at 983,380 clusters and the
+    # host-side upper bound carries one in-flight window (+65k) of drift,
+    # so 1<<20 = 1,048,576 sits exactly at the capacity edge — the final
+    # windows each took a pipeline-draining counter sync and the last one
+    # grew the tables inside the timed region (measured ~20% of wall)
     rate65, dt65, num65 = _timed_fit(
-        dev_fps, threshold=0.65, capacity=1 << 20, ls_capacity=1 << 18
+        dev_fps, threshold=0.65, capacity=1 << 21, ls_capacity=1 << 18
     )
 
     from bblean_tpu._memory import device_memory_stats
