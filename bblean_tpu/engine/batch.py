@@ -310,6 +310,7 @@ def _insert_round(
     criterion: str,
     use_pallas: bool,
     row_sims: Array | None = None,
+    search_plan: tuple[Array, ...] | None = None,
 ) -> tuple[BatchState, Array, Array, Array]:
     r"""One insertion round over a row window of any width.
 
@@ -344,11 +345,27 @@ def _insert_round(
     # here would inline the probe's jit into the traced program.
     f8_ = row_pk.shape[1]
     fc_ = state.t_pk.shape[1]
-    if use_pallas and m % 64 == 0 and f8_ % 128 == 0 and fc_ % 128 == 0:
+    if (
+        search_plan is not None
+        and use_pallas
+        and m % 64 == 0
+        and f8_ % 128 == 0
+        and fc_ % 128 == 0
+    ):
+        from bblean_tpu.ops.pallas_search2 import tile_search_planned
+
+        # Step-constant sort plan (computed once in _batch_step_impl);
+        # the last group slot is the scatter guard and never holds live
+        # tile entries, so it doubles as the kernel's guard tile
+        srows, spops, skey, nxt, order = search_plan
+        best_sim, best = tile_search_planned(
+            srows, spops, skey, nxt, order, state.t_pk, state.t_pops,
+            state.t_slot, pending, guard_group=guard_g,
+        )
+    elif use_pallas and m % 64 == 0 and f8_ % 128 == 0 and fc_ % 128 == 0:
         from bblean_tpu.ops.pallas_search2 import tile_search_sorted
 
-        # The last group slot is the scatter guard and never holds live
-        # tile entries, so it doubles as the kernel's guard tile
+        # No precomputed plan (narrow retry windows): sort in-call
         best_sim, best = tile_search_sorted(
             row_pk, row_pop, row_group, state.t_pk, state.t_pops,
             state.t_slot, pending, guard_group=guard_g,
@@ -786,6 +803,21 @@ def _batch_step_impl(
     else:
         row_sims = None
 
+    # Sort plan for the Pallas tile search, also step-constant (rows are
+    # keyed by their routed group; rows assigned mid-step are scored then
+    # masked — same work the XLA gather spends on masked rows).  Hoisting
+    # the argsort here is what removed the kernel's in-step overhead.
+    search_plan = None
+    f8_ = row_pk.shape[1]
+    fc_ = state.t_pk.shape[1]
+    if use_pallas and m % 64 == 0 and f8_ % 128 == 0 and fc_ % 128 == 0:
+        from bblean_tpu.ops.pallas_search2 import sorted_search_plan
+
+        guard_g = state.g_ls.shape[0] - 1
+        key = jnp.where(pending0, row_group, guard_g)
+        order, skey, nxt = sorted_search_plan(key, guard_g)
+        search_plan = (row_pk[order], row_pop[order], skey, nxt, order)
+
     def wide_cond(carry):
         _state, pending, _assigned, _strikes, r = carry
         n_pend = jnp.sum(pending.astype(jnp.int32))
@@ -797,7 +829,8 @@ def _batch_step_impl(
         state, pending, assigned, strikes = _insert_round(
             state, pending, assigned, strikes, row_group,
             row_ls, row_n, row_cent, row_pk, row_pop,
-            threshold, tolerance, row_sims=row_sims, **kw,
+            threshold, tolerance, row_sims=row_sims,
+            search_plan=search_plan, **kw,
         )
         return (state, pending, assigned, strikes, r + 1)
 
@@ -1398,7 +1431,7 @@ class BatchTree:
         # Batches fused into one scan dispatch by fit_packed.  The scan body
         # runs a split pass per batch, so a window is self-contained the way
         # a split_interval segment of single-batch dispatches used to be.
-        self.scan_batches = 8
+        self.scan_batches = 16
         # Group headroom: saturation packs ~fanout clusters per group, so
         # the true need is ~capacity/fanout with ~1.3x slack for split
         # halves and overflow chunks, plus one scan window's worth of

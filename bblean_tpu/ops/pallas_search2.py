@@ -47,7 +47,12 @@ try:  # TPU-specific pallas backend; absent on some builds
 except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
-__all__ = ["tile_search_sorted", "sorted_search_supported"]
+__all__ = [
+    "tile_search_sorted",
+    "sorted_search_plan",
+    "tile_search_planned",
+    "sorted_search_supported",
+]
 
 _NEG = -2.0
 _SUB = 8  # rows per grid step (f32 sublane count)
@@ -228,14 +233,31 @@ def tile_search_sorted(
     # Sort rows by routed group; non-pending rows sink to the guard tile
     guard = g if guard_group is None else guard_group
     key = jnp.where(pending, row_group, guard)
-    order = jnp.argsort(key, stable=True)
-    skey = key[order]
+    order, skey, nxt = sorted_search_plan(key, guard)
     srows = row_pk[order]
     spops = row_pop[order]
+    return _run_planned(
+        srows, spops, skey, nxt, order, t_pk, t_pops, t_slot, pending,
+        guard_group, interpret,
+    )
 
+
+def sorted_search_plan(key: Array, guard: int) -> tuple[Array, Array, Array]:
+    r"""Sort schedule for the kernel: rows ordered by routed group plus the
+    prefetcher's next-distinct-group table.
+
+    ``key`` is the per-row routed group (rows to skip should carry
+    ``guard``).  The batch engine's routed groups are STEP-constant (see
+    ``engine.batch._batch_step_impl``), so the plan — argsort included —
+    is computed once per step and reused by every insert round via
+    ``tile_search_planned``; the per-call argsort was what kept this
+    kernel off the in-step hot path.
+    """
+    m = key.shape[0]
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
     # Next-distinct-group schedule for the prefetcher: for each sorted row,
-    # the key of the segment after its own (guard G when none)
-    # seg index per row, then first key of seg+1
+    # the key of the segment after its own (guard when none).
     seg = jnp.cumsum(
         jnp.concatenate([jnp.zeros((1,), jnp.int32),
                          (skey[1:] != skey[:-1]).astype(jnp.int32)])
@@ -245,7 +267,40 @@ def tile_search_sorted(
     # Rows of the last segment prefetch the guard tile (seg_first_key of an
     # empty segment is int32 max -> clamp to the guard index)
     nxt = jnp.clip(seg_first_key[jnp.minimum(seg + 1, m - 1)], 0, guard)
+    return order, skey, nxt
 
+
+def tile_search_planned(
+    srows: Array,  # (M, F8) uint8, pre-sorted by plan order
+    spops: Array,  # (M,) int32, pre-sorted
+    skey: Array,  # (M,) int32 sorted group keys (from sorted_search_plan)
+    nxt: Array,  # (M,) int32 prefetch schedule
+    order: Array,  # (M,) int32 the plan's sort order (for the unsort)
+    t_pk: Array,
+    t_pops: Array,
+    t_slot: Array,
+    pending: Array,  # (M,) bool CURRENT pending mask (row order)
+    guard_group: int,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    r"""Kernel call on a precomputed plan; same contract as
+    ``tile_search_sorted`` except rows keyed to a group they no longer
+    need (e.g. assigned in an earlier round) are scored then masked by
+    ``pending`` — the tile DMA count stays at D distinct groups either
+    way, and the scoring is the same work the XLA gather path spends on
+    masked rows too."""
+    return _run_planned(
+        srows, spops, skey, nxt, order, t_pk, t_pops, t_slot, pending,
+        guard_group, interpret,
+    )
+
+
+def _run_planned(
+    srows, spops, skey, nxt, order, t_pk, t_pops, t_slot, pending,
+    guard_group, interpret,
+):
+    m, f8 = srows.shape
+    g, fc, _ = t_pk.shape
     if guard_group is None:
         # Guard tile: zeros with slot -1 (never matches, sim stays -2).
         # Appending copies the table — fine for small standalone use only.
@@ -349,7 +404,11 @@ def sorted_search_supported() -> bool:
     except Exception:
         return False
     ref_sim, ref_slot = _search_tiles(*args)
+    ref_sim = np.asarray(ref_sim)
+    # Slots are only defined where a candidate exists (sim > -2 sentinel);
+    # the kernel and the gather use different no-candidate sentinels.
+    has_cand = ref_sim > -1.5
     return bool(
-        np.allclose(np.asarray(sim), np.asarray(ref_sim), atol=1e-6)
-        and np.array_equal(np.asarray(slot), np.asarray(ref_slot))
+        np.allclose(np.asarray(sim), ref_sim, atol=1e-6)
+        and np.array_equal(np.asarray(slot)[has_cand], np.asarray(ref_slot)[has_cand])
     )

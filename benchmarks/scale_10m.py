@@ -22,6 +22,9 @@ is what fits ~10M clusters on a 16 GB chip (see docs/tpu-memory.md).
 """
 
 import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 import time
 
 import numpy as np
@@ -48,8 +51,15 @@ def main() -> None:
     n = n_m * 1_000_000
 
     t0 = time.perf_counter()
-    fps = make_fake_fingerprints(n, seed=SEED)
-    print(f"gen: {time.perf_counter() - t0:.0f}s {fps.nbytes / 1e9:.2f} GB")
+    cache = Path(__file__).resolve().parent.parent / ".scratch" / f"fps{n_m}m.npy"
+    if cache.exists():
+        fps = np.load(cache, mmap_mode="r")
+        print(f"gen: cached ({cache}) {fps.nbytes / 1e9:.2f} GB")
+    else:
+        fps = make_fake_fingerprints(n, seed=SEED)
+        cache.parent.mkdir(exist_ok=True)
+        np.save(cache, fps)
+        print(f"gen: {time.perf_counter() - t0:.0f}s {fps.nbytes / 1e9:.2f} GB")
 
     kw = dict(
         threshold=threshold,

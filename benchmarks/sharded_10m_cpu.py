@@ -22,6 +22,9 @@ demand, decoupled from N).
 
 import os
 import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 import time
 from pathlib import Path
 

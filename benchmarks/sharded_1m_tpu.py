@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 import time
 
 import numpy as np

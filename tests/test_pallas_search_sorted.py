@@ -164,3 +164,59 @@ def test_engine_pallas_search_small_configs_fall_back() -> None:
     b.fit_packed(fps, range(400))
     assert a.num_clusters == b.num_clusters
     assert a.cluster_mols() == b.cluster_mols()
+
+
+def test_planned_search_with_stale_plan_matches_xla() -> None:
+    r"""The engine computes the sort plan ONCE per step (rows keyed by
+    their step-constant routed group with the initial pending mask) and
+    reuses it across rounds while ``pending`` shrinks — rows assigned in
+    earlier rounds are scored against their group then masked.  The
+    planned call with a stale plan must match the XLA search evaluated at
+    the CURRENT pending mask."""
+    from bblean_tpu.ops.pallas_search2 import (
+        sorted_search_plan,
+        tile_search_planned,
+    )
+
+    m, g, fc, f8 = 64, 8, 16, 32
+    rng = np.random.default_rng(23)
+    args = list(_mk(rng, m, g, fc, f8, "few"))
+    row_pk, row_pop, row_group, t_pk, t_pops, t_slot, _pending = args
+    # Reserve the last tile as the engine's guard
+    t_pk = np.asarray(t_pk).copy()
+    t_slot = np.asarray(t_slot).copy()
+    t_pk[g - 1] = 0
+    t_slot[g - 1] = -1
+    t_pops = (
+        np.unpackbits(t_pk.reshape(g * fc, f8), axis=1)
+        .sum(1)
+        .astype(np.int32)
+        .reshape(g, fc)
+    )
+    t_pk, t_pops, t_slot = map(jnp.asarray, (t_pk, t_pops, t_slot))
+    guard = g - 1
+    pending0 = np.ones(m, bool)
+    pending0[::7] = False  # padding rows, keyed to guard at plan time
+    key = jnp.where(jnp.asarray(pending0), row_group, guard)
+    order, skey, nxt = sorted_search_plan(key, guard)
+    srows, spops = row_pk[order], row_pop[order]
+
+    # Round 2: a third of the initially-pending rows have been assigned
+    pending_now = pending0.copy()
+    pending_now[1::3] = False
+    pend = jnp.asarray(pending_now)
+    got_sim, got_slot = jax.block_until_ready(
+        tile_search_planned(
+            srows, spops, skey, nxt, order, t_pk, t_pops, t_slot, pend,
+            guard_group=guard, interpret=_INTERPRET,
+        )
+    )
+    ref_sim, ref_slot = jax.block_until_ready(
+        _search_tiles(row_pk, row_pop, row_group, t_pk, t_pops, t_slot, pend)
+    )
+    ref_sim = np.asarray(ref_sim)
+    np.testing.assert_array_equal(ref_sim, np.asarray(got_sim))
+    has_cand = ref_sim > -1.5
+    np.testing.assert_array_equal(
+        np.asarray(ref_slot)[has_cand], np.asarray(got_slot)[has_cand]
+    )
