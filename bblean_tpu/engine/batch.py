@@ -1615,6 +1615,14 @@ class BatchTree:
         first time mid-run on backends where program load costs seconds.
         Benchmarks and latency-sensitive callers warm them here; all calls
         are mass-less (zero valid rows), so the tree state is unchanged.
+
+        Also runs TWO zero-valid scan windows through this tree's own
+        state buffers: the first two windows of a fresh tree otherwise pay
+        ~2.4 s of per-tree HBM allocation + donation churn (measured at 1M,
+        8.9 s first fit vs 5.3 s steady) that has nothing to do with the
+        clustering work — the mass-less windows walk the same donation
+        chain and leave the allocator warm.  ``dev_fps`` must hold at least
+        ``scan_batches * batch_size`` rows.
         """
         m = self.batch_size
         rows = _slice_prep_fp_rows(
@@ -1627,6 +1635,16 @@ class BatchTree:
             use_pallas=self.use_pallas_search, narrow=m // 4,
         )
         self._split_oversized_groups()
+        for _ in range(2):
+            self.state, _a, _e = _scan_fit_packed(
+                self.state, dev_fps, jnp.int32(0), jnp.int32(0),
+                jnp.float32(self.threshold), jnp.float32(self.tolerance),
+                k=self.scan_batches, m=m, n_features=self.n_features,
+                criterion=self.merge_criterion, block=self.route_block,
+                max_rounds=self.max_rounds,
+                use_pallas=self.use_pallas_search, narrow=m // 4,
+                split_k=self.split_k, fanout=self.fanout,
+            )
         jax.block_until_ready(self.state.n)
 
     def _submit_scan(
