@@ -1365,6 +1365,49 @@ def _predict_step(
     return best_sim, jnp.where(best_sim > -1.5, best_slot, -1)
 
 
+@jax.jit
+def _pool_dead_rows(state: BatchState) -> Array:
+    r"""``num_ls`` minus the live ``ls_ref`` count (see
+    ``BatchTree.pool_dead_rows``)."""
+    c_cap = state.n.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)[:, 0]
+    live = (iota < state.num) & (state.ls_ref >= 0)
+    return state.num_ls - jnp.sum(live.astype(jnp.int32))
+
+
+def _load_rows_by_mol(
+    X: "np.ndarray | Path | str | tp.Sequence[Path]",
+    mol_ids: list[int],
+    initial_mol: int,
+    input_is_packed: bool,
+) -> tuple[np.ndarray, list[int]]:
+    r"""(packed fingerprint rows, matching mol ids) for ``mol_ids``.
+
+    File sequences require globally sorted indices, so the returned mol
+    ids may be a permutation of the input.  Shared by ``BatchTree`` and
+    ``ShardedForest`` refinement (reference flow reloads original
+    fingerprints by molecule id, ``bblean/bitbirch.py:1224-1290``).
+    """
+    arr_idxs = [m - initial_mol for m in mol_ids]
+    if isinstance(X, (Path, str)):
+        rows = np.asarray(np.load(X, mmap_mode="r")[arr_idxs])
+    elif isinstance(X, np.ndarray):
+        rows = X[arr_idxs]
+    else:  # sequence of .npy paths
+        from bblean_tpu.fingerprints import _get_fingerprints_from_file_seq
+
+        order = np.argsort(arr_idxs)
+        rows = _get_fingerprints_from_file_seq(
+            tp.cast(tp.Sequence[Path], X),
+            [arr_idxs[i] for i in order],
+        )
+        mol_ids = [mol_ids[i] for i in order]
+    rows = np.asarray(rows, dtype=np.uint8)
+    if not input_is_packed:
+        rows = np.packbits(rows, axis=-1)
+    return rows, mol_ids
+
+
 class BatchTree:
     r"""Host driver for the batched device engine (data plane on device,
     topology control plane on host).
@@ -1390,6 +1433,7 @@ class BatchTree:
         route_block: int = 1024,
         max_rounds: int = 24,
         use_pallas_search: bool = False,
+        pipeline_depth: int = 3,
     ) -> None:
         if fanout >= tile:
             raise ValueError("fanout must be < tile (headroom for creations)")
@@ -1464,6 +1508,13 @@ class BatchTree:
         # t=0.3 and +7% at t=0.65 with identical clusters; 16 starts to
         # lose at t=0.3 (longer stalls when a retry IS needed)
         self.split_interval = 8
+        # Scan windows allowed in flight before the oldest boundary is
+        # settled.  Popping the oldest blocks on window w-depth (long done
+        # while w computes); deeper queues keep the device fed when the
+        # host stalls between submits (contended-host runs showed a 24%
+        # throughput gap at depth 1 vs quiet-box at 1M t=0.3) at the cost
+        # of `depth` staged window buffers (~32 MB each) kept alive.
+        self.pipeline_depth = max(1, pipeline_depth)
         self._boundary_queue: list[dict] = []
         # Per-inserted-row slot assignments + mol bookkeeping (host side)
         self._row_slots: list[np.ndarray] = []
@@ -1480,6 +1531,23 @@ class BatchTree:
         g_num = int(self.state.g_num)
         self._g_upper = g_num
         return g_num
+
+    @property
+    def pool_dead_rows(self) -> int:
+        r"""Leaked linear-sum pool rows (telemetry).
+
+        In-step guards can kill a multi-member creation AFTER its pool ref
+        was consumed by the allocation cumsum (the trade documented at the
+        ``fits_g`` kill site: hole-free tile positions + contiguous
+        surviving refs in exchange for a rare leaked row).  Slots are never
+        freed, so every live ref belongs to a live slot and the dead count
+        is exactly ``num_ls - #live refs``.  The count is already folded
+        into capacity accounting (the device ``num_ls`` counter includes
+        dead rows, and flush refreshes ``_ls_upper`` from it), so leaks can
+        only cost pool growth, never corruption — this property makes that
+        cost visible for long refine/recluster loops.
+        """
+        return int(_pool_dead_rows(self.state))
 
     def _scan_g_headroom(self) -> int:
         r"""Free group slots demanded before a scan window dispatches: 2x
@@ -1553,6 +1621,13 @@ class BatchTree:
         window-by-window one window ahead so transfers overlap the scans.
         """
         num = len(packed_fps)
+        if num and packed_fps.shape[-1] != self.n_bytes:
+            raise ValueError(
+                f"packed rows have {packed_fps.shape[-1]} bytes, expected "
+                f"{self.n_bytes} for {self.n_features} features (already-"
+                "packed input passed through packbits again is the usual "
+                "cause; make_fake_fingerprints returns PACKED rows)"
+            )
         # Singleton rows: store mol ids as one flat array per window instead
         # of N one-element python lists (which cost seconds at 500k+ scale)
         mol_arr = np.fromiter(mol_indices, dtype=np.int64, count=num)
@@ -1616,7 +1691,8 @@ class BatchTree:
         Benchmarks and latency-sensitive callers warm them here; all calls
         are mass-less (zero valid rows), so the tree state is unchanged.
 
-        Also runs TWO zero-valid scan windows through this tree's own
+        Also runs ``max(2, pipeline_depth)`` zero-valid scan windows
+        through this tree's own
         state buffers: the first two windows of a fresh tree otherwise pay
         ~2.4 s of per-tree HBM allocation + donation churn (measured at 1M,
         8.9 s first fit vs 5.3 s steady) that has nothing to do with the
@@ -1635,7 +1711,7 @@ class BatchTree:
             use_pallas=self.use_pallas_search, narrow=m // 4,
         )
         self._split_oversized_groups()
-        for _ in range(2):
+        for _ in range(max(2, self.pipeline_depth)):
             self.state, _a, _e = _scan_fit_packed(
                 self.state, dev_fps, jnp.int32(0), jnp.int32(0),
                 jnp.float32(self.threshold), jnp.float32(self.tolerance),
@@ -1707,10 +1783,11 @@ class BatchTree:
                 ),
             }
         )
-        # Keep one window in flight: popping ONLY the oldest entry blocks
-        # on window w-1 (already done while w computes), so the device
-        # never drains — a full flush here would block on window w itself
-        while len(self._boundary_queue) >= 2:
+        # Keep up to `pipeline_depth` windows in flight: popping ONLY the
+        # oldest entry blocks on a window that finished while newer ones
+        # compute, so the device never drains — a full flush here would
+        # block on window w itself
+        while len(self._boundary_queue) > self.pipeline_depth:
             self._process_oldest_boundary()
 
     def insert_fps(
@@ -1826,7 +1903,17 @@ class BatchTree:
             )
             self._num_upper = int(flat[-3]) + extra_rows
             self._g_upper = int(flat[-2]) + extra_g
-            self._ls_upper = int(flat[-1]) + extra_rows
+            # Pool bound: in-flight windows are NOT charged per-row — the
+            # in-step pool guard pends rows on exhaustion (survivable), and
+            # charging extra_rows here put the bound past ls_capacity at
+            # every pop whenever a window exceeded the pool size (131k-row
+            # windows vs a 64k pool at 10M), turning the capacity-edge
+            # sync into a pipeline drain per window — measured as the
+            # entire 1M -> 10M throughput cliff (143k -> 91k fps/s).
+            # Charge the same 2*m margin the proactive refresh demands.
+            self._ls_upper = int(flat[-1]) + 2 * self.batch_size * len(
+                self._boundary_queue
+            )
             # Proactive pool headroom while the counters are fresh (sync-
             # free here): mid-cycle pool exhaustion is survivable (the
             # in-step guard pends rows) but costs retry dispatches
@@ -1982,29 +2069,7 @@ class BatchTree:
         initial_mol: int,
         input_is_packed: bool,
     ) -> tuple[np.ndarray, list[int]]:
-        r"""(packed fingerprint rows, matching mol ids) for ``mol_ids``.
-
-        File sequences require globally sorted indices, so the returned mol
-        ids may be a permutation of the input.
-        """
-        arr_idxs = [m - initial_mol for m in mol_ids]
-        if isinstance(X, (Path, str)):
-            rows = np.asarray(np.load(X, mmap_mode="r")[arr_idxs])
-        elif isinstance(X, np.ndarray):
-            rows = X[arr_idxs]
-        else:  # sequence of .npy paths
-            from bblean_tpu.fingerprints import _get_fingerprints_from_file_seq
-
-            order = np.argsort(arr_idxs)
-            rows = _get_fingerprints_from_file_seq(
-                tp.cast(tp.Sequence[Path], X),
-                [arr_idxs[i] for i in order],
-            )
-            mol_ids = [mol_ids[i] for i in order]
-        rows = np.asarray(rows, dtype=np.uint8)
-        if not input_is_packed:
-            rows = np.packbits(rows, axis=-1)
-        return rows, mol_ids
+        return _load_rows_by_mol(X, mol_ids, initial_mol, input_is_packed)
 
     def refine_inplace(
         self,

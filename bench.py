@@ -14,6 +14,10 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -64,6 +68,36 @@ def _timed_fit(dev_fps, threshold: float, capacity: int, ls_capacity: int):
     return rate, dt, num
 
 
+class _CpuHog:
+    r"""Context manager burning every CPU with low-priority spinner
+    subprocesses, emulating a loaded host (driver-style conditions).
+
+    The engine's throughput must not depend on the host being quiet: the
+    boundary pipeline keeps ``pipeline_depth`` windows in flight so a
+    stalled host submit never drains the device.  This measures that claim
+    directly instead of hoping the box is idle.
+    """
+
+    def __enter__(self):
+        n = os.cpu_count() or 1
+        self._procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", "while True:\n pass"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for _ in range(n)
+        ]
+        return self
+
+    def __exit__(self, *exc):
+        for p in self._procs:
+            p.send_signal(signal.SIGKILL)
+        for p in self._procs:
+            p.wait()
+        return False
+
+
 def main() -> None:
     import jax
 
@@ -97,6 +131,14 @@ def main() -> None:
     rate65, dt65, num65 = _timed_fit(
         dev_fps, threshold=0.65, capacity=1 << 21, ls_capacity=1 << 18
     )
+    # Contended re-run of the primary regime with every host CPU burned by
+    # spinner processes: throughput must hold (deep window pipelining keeps
+    # the device fed through host stalls) — guards the quiet-box-only-record
+    # failure mode
+    with _CpuHog():
+        rate03c, dt03c, _num03c = _timed_fit(
+            dev_fps, threshold=0.30, capacity=1 << 19, ls_capacity=1 << 18
+        )
 
     from bblean_tpu._memory import device_memory_stats
 
@@ -121,6 +163,11 @@ def main() -> None:
                 "vs_baseline": round(rate03 / BASELINE_FPS_PER_S, 2),
                 "wall_s": round(dt03, 2),
                 "n_clusters": int(num03),
+                "t0.3_contended_fps_per_s": round(rate03c, 1),
+                "t0.3_contended_vs_baseline": round(
+                    rate03c / BASELINE_FPS_PER_S, 2
+                ),
+                "t0.3_contended_wall_s": round(dt03c, 2),
                 "t0.65_fps_per_s": round(rate65, 1),
                 "t0.65_vs_baseline": round(rate65 / BASELINE_FPS_PER_S, 2),
                 "t0.65_wall_s": round(dt65, 2),

@@ -80,13 +80,24 @@ def main() -> None:
 
     # Warm-up: compile every program at the final table shapes, including
     # the rare retry/flush programs (warm_programs), so a first-execution
-    # mid-timed-run never bills program-load cost to the engine
-    warm_rows = jax.device_put(np.asarray(fps[: 1 << 18]))
+    # mid-timed-run never bills program-load cost to the engine.  jit
+    # specializes _slice_prep_fp_rows/_scan_fit_packed on the INPUT BUFFER
+    # shape: the host-streamed run (t>=0.5) feeds window-sized staging
+    # buffers (scan_batches * batch_size rows), while the device-resident
+    # run (t<0.5) slices the full fps array directly — so the timed tree
+    # must be warmed with a buffer of exactly the shape the timed run uses.
     warm = BatchTree(2048, **kw)
-    warm.fit_packed(warm_rows[: 1 << 16], range(1 << 16))
+    window = warm.scan_batches * warm.batch_size
+    if isinstance(fps, jax.Array):
+        warm_rows = fps  # timed run slices the resident array itself
+        small = fps[: 1 << 16]  # device slice; no host round-trip
+    else:
+        warm_rows = jax.device_put(np.ascontiguousarray(fps[:window]))
+        small = warm_rows[: 1 << 16]
+    warm.fit_packed(small, range(1 << 16))
     warm.warm_programs(warm_rows)
     jax.block_until_ready(warm.state.n)
-    del warm
+    del warm, small
 
     tree = BatchTree(2048, **kw)
     tree.warm_programs(warm_rows)
