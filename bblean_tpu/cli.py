@@ -197,8 +197,11 @@ def _run(
             input_is_packed=input_is_packed, max_fps=max_fps,
             save_centroids=save_centroids,
             batch_size=engine_batch_size,
+            refine_num=refine_num, refine_rounds=refine_rounds,
             refine_merge_criterion=refine_merge_criterion,
             refine_threshold_change=refine_threshold_change,
+            recluster_rounds=recluster_rounds,
+            recluster_shuffle=recluster_shuffle,
         )
     elif engine == "batch":
         _run_batch_engine(
@@ -272,13 +275,17 @@ def _run(
 def _run_sharded_engine(
     input_files, out_dir, config, console, timer, *, threshold,
     merge_criterion, tolerance, n_features, input_is_packed, max_fps,
-    save_centroids, batch_size=8192, refine_merge_criterion=None,
-    refine_threshold_change=0.0,
+    save_centroids, batch_size=8192, refine_num=0, refine_rounds=0,
+    refine_merge_criterion=None, refine_threshold_change=0.0,
+    recluster_rounds=0, recluster_shuffle=False,
 ) -> None:
     r"""SPMD path of ``bb run``: data-parallel over every visible device.
 
     The merge-reduction rounds use the refine criterion/threshold-change
-    options, mirroring multiround's midsection parameters.
+    options, mirroring multiround's midsection parameters.  Refinement
+    (``--refine-num``) explodes the largest merged clusters into singleton
+    rows re-sharded over the mesh and re-fits + re-merges (reference flow
+    ``bblean/bitbirch.py:1187-1214``, ``cli.py:1076-1095``).
     """
     from bblean_tpu._jax_cache import enable_persistent_cache
 
@@ -296,6 +303,14 @@ def _run_sharded_engine(
     for file in input_files:
         n = _get_fps_file_num(file)
         total_rows += min(n, max_fps) if max_fps is not None else n
+
+    # Clamp the device batch to the input: compile cost scales with the
+    # program's row-block shape, so an 8192-row batch on a 600-row input
+    # burns minutes of XLA compile (on CPU meshes) for slots that never
+    # hold a row.  One window per device still covers the whole input.
+    if total_rows:
+        per_dev = -(-total_rows // mesh.devices.size)
+        batch_size = max(64, min(batch_size, 1 << (per_dev - 1).bit_length()))
 
     forest: ShardedForest | None = None
     timer.init_timing("fit")
@@ -315,8 +330,26 @@ def _run_sharded_engine(
                     merge_criterion_merge=refine_merge_criterion,
                     merge_threshold_change=refine_threshold_change,
                     batch_size=batch_size,
+                    # Shrink the scan window so small inputs do not pay the
+                    # full 16-batch window's group-table headroom (same
+                    # clamp as parallel.sharded_fit)
+                    scan_batches=max(
+                        1,
+                        min(
+                            16,
+                            -(
+                                -total_rows
+                                // (mesh.devices.size * batch_size)
+                            ),
+                        ),
+                    ),
+                    # Sized to the input (capacity grows on demand per merge
+                    # round): a floor at thousands of rows would make every
+                    # capacity-shaped device op pay for table slots a small
+                    # run never uses — measured as ~30 min of merge wall for
+                    # a 600-row input on the virtual 8-device CPU mesh
                     initial_capacity=max(
-                        8192,
+                        2 * batch_size + 2,
                         min(
                             total_rows + batch_size + 1,
                             (total_rows // mesh.devices.size) * 2
@@ -331,6 +364,26 @@ def _run_sharded_engine(
     with console.status("[italic]Merging shards...[/italic]", spinner="dots"):
         forest.merge()
     timer.end_timing("merge", console)
+
+    for r in range(refine_rounds):
+        with console.status(
+            f"[italic]Refinement, round {r + 1} (SPMD)...[/italic]",
+            spinner="dots",
+        ):
+            forest.refine_inplace(
+                input_files if len(input_files) > 1 else input_files[0],
+                input_is_packed=input_is_packed,
+                n_largest=refine_num,
+                threshold=threshold + refine_threshold_change,
+                merge_criterion=refine_merge_criterion,
+                tolerance=tolerance,
+            )
+    for r in range(recluster_rounds):
+        with console.status(
+            f"[italic]Reclustering, round {r + 1} (SPMD)...[/italic]",
+            spinner="dots",
+        ):
+            forest.recluster_inplace(shuffle=recluster_shuffle)
 
     labels = forest.labels()
     sizes = forest.cluster_sizes()

@@ -334,9 +334,11 @@ class ShardedForest:
     The stacked device state is a ``BatchState`` with a leading device axis
     sharded over the mesh; all fit dispatches are ``shard_map`` programs with
     no collectives, so throughput scales linearly with devices.  The host
-    control plane mirrors ``BatchTree``: windows queue with depth-2
-    pipelining, capacity grows on demand (uniform across devices), and rare
-    pending rows retry at flush boundaries.
+    control plane mirrors ``BatchTree``: up to ``pipeline_depth`` windows
+    stay in flight with submit-time sync payloads, capacity grows on demand
+    (uniform across devices), and rare pending rows retry at boundaries.
+    Refinement (``refine_inplace``) and reclustering re-insert surviving
+    clusters as sharded CF buffers and re-run the merge reduction.
     """
 
     def __init__(
@@ -351,7 +353,7 @@ class ShardedForest:
         merge_threshold_change: float = 0.0,
         merge_gate_margin: float = 0.15,
         batch_size: int = 1024,
-        scan_batches: int = 4,
+        scan_batches: int = 16,
         fanout: int | None = None,
         tile: int = 256,
         initial_capacity: int = 8192,
@@ -359,6 +361,8 @@ class ShardedForest:
         g_capacity: int | None = None,
         route_block: int = 1024,
         max_rounds: int = 24,
+        use_pallas_search: bool = False,
+        pipeline_depth: int = 3,
         axis_name: str = "dp",
     ) -> None:
         if fanout is None:
@@ -379,6 +383,7 @@ class ShardedForest:
             else merge_criterion
         )
         self.merge_threshold = threshold + merge_threshold_change
+        self._merge_threshold_change = merge_threshold_change
         self.merge_gate_margin = merge_gate_margin
         self.batch_size = batch_size
         self.scan_batches = scan_batches
@@ -386,6 +391,18 @@ class ShardedForest:
         self.tile = tile
         self.route_block = route_block
         self.max_rounds = max_rounds
+        # Same knob + default as BatchTree: the sorted Pallas search wins
+        # as a standalone dispatch but loses ~5% inside the fused scan, so
+        # it stays opt-in; the probe silently falls back on CPU meshes
+        if use_pallas_search:
+            from bblean_tpu.engine.batch import _sorted_search_ok
+
+            use_pallas_search = _sorted_search_ok()
+        self.use_pallas_search = use_pallas_search
+        # Windows in flight before the oldest boundary settles (the same
+        # depth pipelining as BatchTree: popping only the oldest blocks on
+        # a window that already finished while newer ones compute)
+        self.pipeline_depth = max(1, pipeline_depth)
         self.split_k = 64
 
         self.capacity = _next_pow2(
@@ -402,10 +419,20 @@ class ShardedForest:
         self.g_capacity = _next_pow2(
             g_capacity
             if g_capacity is not None
+            # Every group holds at least one slot, so 2*capacity bounds the
+            # live groups + in-flight split headroom a capacity-sized table
+            # can ever need: without the cap, the worst-case scan headroom
+            # (2*k*split_k-ish) forces thousands of group slots — and
+            # 268 MB/device of tile tables — onto runs whose slot table
+            # holds a few hundred rows (the group table also grows on
+            # demand, so the cap costs large runs nothing)
             else max(
                 256,
-                self.capacity * 13 // (10 * max(fanout, 1))
-                + self._scan_g_headroom(),
+                min(
+                    self.capacity * 13 // (10 * max(fanout, 1))
+                    + self._scan_g_headroom(),
+                    2 * self.capacity,
+                ),
             )
         )
         self._sharding = NamedSharding(self.mesh, P(axis_name))
@@ -414,10 +441,16 @@ class ShardedForest:
         self._num_upper = 0
         self._g_upper = 1
         self._ls_upper = 0
-        # Window bookkeeping: (assigned (D, k*m) device or np, valids (D,))
-        self._windows: list[tuple[tp.Any, np.ndarray]] = []
+        # Window bookkeeping (host): each entry maps window rows back to
+        # molecule ids.  kind == "fps": one singleton row per input row,
+        # ``mols`` is a (D, rows_per_dev) int64 id array (-1 pads); kind ==
+        # "buffers": pre-aggregated CF rows, ``mols`` is a per-device list
+        # of per-row mol-id lists (refinement re-inserts surviving clusters
+        # this way, mirroring BatchTree.insert_buffers)
+        self._windows: list[dict] = []
         self._boundary_queue: list[dict] = []
         self._total_rows = 0
+        self._n_mols = 0
         self._merged = False
         self._round_maps: list[tuple[int, dict[int, np.ndarray]]] = []
 
@@ -499,6 +532,7 @@ class ShardedForest:
         except KeyError:
             pass
         mesh, ax = self.mesh, self.axis_name
+        use_pallas = self.use_pallas_search
 
         @partial(
             jax.jit,
@@ -518,7 +552,7 @@ class ShardedForest:
                     _sq(state), fps, jnp.int32(0), nv[0], thr, tol,
                     k=k, m=m, n_features=n_features,
                     criterion=criterion, block=block, max_rounds=max_rounds,
-                    use_pallas=False, narrow=narrow, split_k=split_k,
+                    use_pallas=use_pallas, narrow=narrow, split_k=split_k,
                     fanout=fanout,
                 )
                 return _ex(st), assigned[None], encs[None]
@@ -540,6 +574,7 @@ class ShardedForest:
         except KeyError:
             pass
         mesh, ax = self.mesh, self.axis_name
+        use_pallas = self.use_pallas_search
 
         @partial(
             jax.jit,
@@ -562,7 +597,8 @@ class ShardedForest:
                 st, assigned, _enc = _batch_step_impl(
                     _sq(state), row_ls, row_n, row_cent, row_pk, row_pop,
                     thr, tol, criterion=criterion, block=block,
-                    max_rounds=max_rounds, narrow=narrow,
+                    max_rounds=max_rounds, use_pallas=use_pallas,
+                    narrow=narrow,
                 )
                 return _ex(st), assigned[None]
 
@@ -575,6 +611,58 @@ class ShardedForest:
 
         self.__dict__["_retry_jit"] = retry
         return retry
+
+    @property
+    def _buffer_window_program(self):
+        try:
+            return self.__dict__["_buffer_window_jit"]
+        except KeyError:
+            pass
+        mesh, ax = self.mesh, self.axis_name
+        use_pallas = self.use_pallas_search
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "m", "criterion", "block", "max_rounds", "narrow",
+                "split_k", "fanout",
+            ),
+            donate_argnums=(0,),
+        )
+        def buffer_window(
+            state, row_ls, row_n, missing, threshold, tolerance, *, m,
+            criterion, block, max_rounds, narrow, split_k, fanout,
+        ):
+            r"""One batch of pre-aggregated CF rows per device (the
+            sharded twin of ``BatchTree.insert_buffers``'s step)."""
+
+            def body(state, ls, n, miss, thr, tol):
+                # ls/n shard to (m, F)/(m,) blocks; miss keeps a leading
+                # device axis of 1 (it is a (D, m) host mask)
+                n_eff = jnp.where(miss[0], n, 0)
+                cent = majority_centroid_from_sums(
+                    ls, jnp.maximum(n_eff, 1)
+                )
+                row_pk = pack_fingerprints_device(cent)
+                row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
+                st, assigned, enc = _batch_step_impl(
+                    _sq(state), ls, n_eff, cent.astype(jnp.bfloat16),
+                    row_pk, row_pop, thr, tol, criterion=criterion,
+                    block=block, max_rounds=max_rounds,
+                    use_pallas=use_pallas, narrow=narrow,
+                )
+                st, _ = _split_topk_impl(st, k=split_k, fanout=fanout)
+                return _ex(st), assigned[None], enc[None]
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
+                out_specs=(P(ax), P(ax), P(ax)),
+                check_vma=False,
+            )(state, row_ls, row_n, missing, threshold, tolerance)
+
+        self.__dict__["_buffer_window_jit"] = buffer_window
+        return buffer_window
 
     @property
     def _split_program(self):
@@ -641,18 +729,24 @@ class ShardedForest:
         @partial(
             jax.jit,
             static_argnames=(
-                "stride", "m_b", "criterion", "block", "max_rounds",
+                "m_b", "criterion", "block", "max_rounds",
                 "split_k", "fanout",
             ),
             donate_argnums=(0,),
         )
         def merge(
-            state, recv, gate, threshold, tolerance, *, stride, m_b,
+            state, recv, stride, gate, threshold, tolerance, *, m_b,
             criterion, block, max_rounds, split_k, fanout,
         ):
-            def body(state, recv, gt, thr, tol):
+            # stride is TRACED (it only feeds the is_recv predicate, never a
+            # shape): the reduction's log2(D) rounds all reuse ONE compiled
+            # program — this body is by far the most expensive compile in
+            # the package (tens of minutes on a 1-core CPU host), so one
+            # program vs log2(D) is the difference between a usable and an
+            # unusable cold test suite
+            def body(state, recv, strd, gt, thr, tol):
                 idx = lax.axis_index(ax)
-                is_recv = (idx % (2 * stride)) == 0
+                is_recv = (idx % (2 * strd)) == 0
                 st, amap = _merge_into_impl(
                     _sq(state), _sq(recv), is_recv, gt, thr, tol,
                     m_b=m_b, criterion=criterion, block=block,
@@ -661,9 +755,10 @@ class ShardedForest:
                 return _ex(st), amap[None]
 
             return jax.shard_map(
-                body, mesh=mesh, in_specs=(P(ax), P(ax), P(), P(), P()),
+                body, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(), P(), P(), P()),
                 out_specs=(P(ax), P(ax)), check_vma=False,
-            )(state, recv, gate, threshold, tolerance)
+            )(state, recv, stride, gate, threshold, tolerance)
 
         self.__dict__["_merge_jit"] = merge
         return merge
@@ -713,47 +808,77 @@ class ShardedForest:
 
     # -- fit -----------------------------------------------------------------
 
-    def fit_packed(self, packed_fps: "np.ndarray") -> None:
+    def fit_packed(
+        self,
+        packed_fps: "np.ndarray",
+        mol_indices: "tp.Sequence[int] | np.ndarray | None" = None,
+    ) -> None:
         r"""Stream packed fingerprint rows through the mesh.
 
         ``packed_fps`` may be a memmap; the host materializes one
         ``D * scan_batches * batch_size`` window at a time (plus one window
         of prefetch), so host RSS is bounded by the window size, not the
         input.  Rows are assigned to devices in contiguous per-window
-        blocks; labels compose at :meth:`merge`.
+        blocks; labels compose at :meth:`merge`.  ``mol_indices`` defaults
+        to sequential ids continuing from the rows already inserted
+        (refinement passes the exploded rows' original ids).
         """
         if self._merged:
             raise RuntimeError("cannot insert after merge()")
+        if len(packed_fps) and packed_fps.shape[-1] != self.n_bytes:
+            raise ValueError(
+                f"packed rows have {packed_fps.shape[-1]} bytes, expected "
+                f"{self.n_bytes} for {self.n_features} features"
+            )
         d = self.n_devices
         m, k = self.batch_size, self.scan_batches
         win_d = k * m  # rows per device per window
         window = d * win_d
         num = len(packed_fps)
+        if mol_indices is None:
+            mol_arr = np.arange(
+                self._total_rows, self._total_rows + num, dtype=np.int64
+            )
+        else:
+            mol_arr = np.fromiter(
+                mol_indices, dtype=np.int64, count=num
+            ) if not isinstance(mol_indices, np.ndarray) else np.asarray(
+                mol_indices, dtype=np.int64
+            )
+        if num:
+            self._n_mols = max(self._n_mols, int(mol_arr.max()) + 1)
 
         def upload(start: int):
             stop = min(start + window, num)
             if stop <= start:
-                return None, None
+                return None, None, None
             chunk = np.asarray(packed_fps[start:stop])
+            mols = mol_arr[start:stop]
             if stop - start < window:
                 chunk = np.pad(chunk, ((0, window - (stop - start)), (0, 0)))
+                mols = np.pad(
+                    mols, (0, window - (stop - start)), constant_values=-1
+                )
             valids = np.clip(
                 (stop - start) - win_d * np.arange(d), 0, win_d
             ).astype(np.int32)
             return (
                 jax.device_put(np.ascontiguousarray(chunk), self._sharding),
                 valids,
+                mols.reshape(d, win_d),
             )
 
         next_up = upload(0)
         for start in range(0, num, window):
-            dev_buf, valids = next_up
+            dev_buf, valids, mols = next_up
             next_up = upload(start + window)  # async prefetch
-            self._submit_window(dev_buf, valids)
+            self._submit_window(dev_buf, valids, mols)
         self._total_rows += num
         self.flush()
 
-    def _submit_window(self, dev_buf: Array, valids: np.ndarray) -> None:
+    def _submit_window(
+        self, dev_buf: Array, valids: np.ndarray, mols: np.ndarray
+    ) -> None:
         m, k = self.batch_size, self.scan_batches
         # p_incoming=0: pool allocations are guarded in-step (see
         # BatchTree._submit_scan)
@@ -776,29 +901,28 @@ class ShardedForest:
         self._g_upper += k * self.split_k + max(
             16, 4 * (n_valid // self.tile + 1)
         )
-        self._windows.append((assigned.reshape(self.n_devices, -1), valids))
+        self._windows.append(
+            {
+                "kind": "fps",
+                "assigned": assigned.reshape(self.n_devices, -1),
+                "valids": valids,
+                "mols": mols,
+            }
+        )
         self._boundary_queue.append(
             {
+                "kind": "fps",
                 "win_idx": len(self._windows) - 1,
                 "dev_fps": dev_buf,
                 "valids": valids,
-                "enc": encs,  # (D, k)
-            }
-        )
-        if len(self._boundary_queue) >= 2:
-            self.flush()
-
-    def flush(self) -> None:
-        r"""Process deferred boundaries: pending retries + a split pass."""
-        queue, self._boundary_queue = self._boundary_queue, []
-        if queue:
-            encs = np.asarray(
-                jnp.concatenate(
-                    [q["enc"] for q in queue]
-                    # Refresh the host upper bounds on the same fetch (free
-                    # here; letting them drift costs _ensure_capacity its
-                    # own pipeline-draining sync — see BatchTree.flush)
-                    + [
+                "enc_cols": k,
+                # Submit-time sync payload: pulling it at the boundary
+                # blocks only on THIS window's program (see
+                # BatchTree._submit_scan); the true per-device counters
+                # piggyback on the same fetch
+                "sync": jnp.concatenate(
+                    [
+                        encs,
                         jnp.stack(
                             [
                                 self.state.num,
@@ -806,28 +930,174 @@ class ShardedForest:
                                 self.state.num_ls,
                             ],
                             axis=1,
-                        )
+                        ),
                     ],
                     axis=1,
-                )
-            )  # (D, sum_k + 3)
-            self._num_upper = int(encs[:, -3].max())
-            self._g_upper = int(encs[:, -2].max())
-            self._ls_upper = int(encs[:, -1].max())
-            encs = encs[:, :-3]
-            # Proactive pool headroom while the counters are fresh (see
-            # BatchTree.flush)
-            self._ensure_capacity(
-                0, g_incoming=0, p_incoming=2 * self.batch_size
+                ),
+            }
+        )
+        while len(self._boundary_queue) > self.pipeline_depth:
+            self._process_oldest_boundary()
+
+    def insert_buffers(
+        self,
+        buffers: np.ndarray,
+        mol_index_seqs: tp.Sequence[tp.Sequence[int]],
+    ) -> None:
+        r"""Insert pre-aggregated CF buffers ``[linear_sum..., n]`` sharded
+        over the mesh (contiguous per-device blocks, one batch-step +
+        split pass per device per window) — the sharded twin of
+        ``BatchTree.insert_buffers``; refinement re-inserts surviving
+        clusters through this path."""
+        if self._merged:
+            raise RuntimeError("cannot insert after merge()")
+        d, m = self.n_devices, self.batch_size
+        window = d * m
+        buffers = np.asarray(buffers)
+        ls = buffers[:, :-1].astype(np.int32)
+        ns = buffers[:, -1].astype(np.int32)
+        mols = [list(s) for s in mol_index_seqs]
+        if mols:
+            self._n_mols = max(
+                self._n_mols,
+                max((max(s, default=-1) for s in mols), default=-1) + 1,
             )
-            offset = 0
-            for q in queue:
-                kq = q["enc"].shape[1]
-                pending = encs[:, offset : offset + kq] // 1000  # (D, k)
-                offset += kq
-                if (pending > 0).any():
-                    self._retry_window(q, pending)
+        num = len(ls)
+        for start in range(0, num, window):
+            stop = min(start + window, num)
+            chunk_ls = ls[start:stop]
+            chunk_n = ns[start:stop]
+            pad = window - (stop - start)
+            if pad:
+                chunk_ls = np.pad(chunk_ls, ((0, pad), (0, 0)))
+                chunk_n = np.pad(chunk_n, (0, pad))
+            valids = np.clip(
+                (stop - start) - m * np.arange(d), 0, m
+            ).astype(np.int32)
+            mol_chunk = mols[start:stop] + [[] for _ in range(pad)]
+            self._submit_buffer_window(
+                jax.device_put(
+                    np.ascontiguousarray(chunk_ls), self._sharding
+                ),
+                jax.device_put(
+                    np.ascontiguousarray(chunk_n), self._sharding
+                ),
+                valids,
+                [mol_chunk[dev * m : (dev + 1) * m] for dev in range(d)],
+            )
+        self.flush()
+
+    def _submit_buffer_window(
+        self,
+        dev_ls: Array,
+        dev_n: Array,
+        valids: np.ndarray,
+        mols: list[list[list[int]]],
+    ) -> None:
+        d, m = self.n_devices, self.batch_size
+        n_valid = int(valids.max(initial=0))
+        # CF rows can all demand pool rows (multi-member clusters), so the
+        # pool headroom is bounded up-front here, unlike the fps path
+        self._ensure_capacity(
+            m, g_incoming=self.split_k + 4 * (m // self.tile + 4),
+            p_incoming=m,
+        )
+        missing = jax.device_put(
+            np.arange(m)[None, :] < valids[:, None], self._sharding
+        )
+        self.state, assigned, enc = self._buffer_window_program(
+            self.state, dev_ls, dev_n, missing,
+            jnp.float32(self.threshold), jnp.float32(self.tolerance),
+            m=m, criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds, narrow=m // 4,
+            split_k=self.split_k, fanout=self.fanout,
+        )
+        self._num_upper += n_valid
+        self._ls_upper += n_valid
+        self._g_upper += self.split_k + max(
+            16, 4 * (n_valid // self.tile + 1)
+        )
+        self._windows.append(
+            {
+                "kind": "buffers",
+                "assigned": assigned.reshape(d, m),
+                "valids": valids,
+                "mols": mols,
+            }
+        )
+        self._boundary_queue.append(
+            {
+                "kind": "buffers",
+                "win_idx": len(self._windows) - 1,
+                "dev_ls": dev_ls,
+                "dev_n": dev_n,
+                "valids": valids,
+                "enc_cols": 1,
+                "sync": jnp.concatenate(
+                    [
+                        enc[:, None],
+                        jnp.stack(
+                            [
+                                self.state.num,
+                                self.state.g_num,
+                                self.state.num_ls,
+                            ],
+                            axis=1,
+                        ),
+                    ],
+                    axis=1,
+                ),
+            }
+        )
+        while len(self._boundary_queue) > self.pipeline_depth:
+            self._process_oldest_boundary()
+
+    def flush(self) -> None:
+        r"""Drain every deferred boundary, then a split pass."""
+        while self._boundary_queue:
+            self._process_oldest_boundary()
         self._split_drain(drain=False)
+
+    def _process_oldest_boundary(self) -> None:
+        r"""Pop and settle the OLDEST deferred boundary (see
+        ``BatchTree._process_oldest_boundary``): the pull reads the entry's
+        submit-time sync payload, so it blocks only on that window's
+        program while newer windows keep the devices busy."""
+        q = self._boundary_queue.pop(0)
+        k = self.scan_batches
+        flat = np.asarray(q["sync"])  # (D, enc_cols + 3); blocks on q only
+        pending = flat[:, : q["enc_cols"]] // 1000
+        # True per-device counters as of this window, plus the worst-case
+        # contributions of the newer windows still in flight
+        extra_rows = extra_g = 0
+        for q2 in self._boundary_queue:
+            nv2 = int(q2["valids"].max(initial=0))
+            extra_rows += nv2
+            extra_g += (k if q2["kind"] == "fps" else 1) * self.split_k + max(
+                16, 4 * (nv2 // self.tile + 1)
+            )
+        self._num_upper = int(flat[:, -3].max()) + extra_rows
+        self._g_upper = int(flat[:, -2].max()) + extra_g
+        # fps windows are not charged per-row against the pool (the
+        # in-step guard pends on exhaustion — see the BatchTree twin);
+        # buffer windows CAN all take pool rows, so they charge fully
+        extra_pool = sum(
+            int(q2["valids"].max(initial=0))
+            if q2["kind"] == "buffers"
+            else 2 * self.batch_size
+            for q2 in self._boundary_queue
+        )
+        self._ls_upper = int(flat[:, -1].max()) + extra_pool
+        # Proactive pool headroom while the counters are fresh (sync-free)
+        self._ensure_capacity(
+            0, g_incoming=0, p_incoming=2 * self.batch_size
+        )
+        if (pending > 0).any():
+            if q["kind"] == "fps":
+                self._retry_window(q, pending)
+            else:
+                self._retry_buffer_window(q)
+            self._split_drain(drain=False)
 
     def _split_drain(self, drain: bool) -> None:
         k = self.split_k
@@ -845,7 +1115,8 @@ class ShardedForest:
         (rare): split fully, then masked re-steps per affected batch."""
         d = self.n_devices
         m, k = self.batch_size, self.scan_batches
-        assigned_dev, valids = self._windows[q["win_idx"]]
+        win = self._windows[q["win_idx"]]
+        assigned_dev, valids = win["assigned"], win["valids"]
         final = np.array(np.asarray(assigned_dev))  # (D, k*m)
         valid_rows = (
             np.arange(k * m)[None, :] < valids[:, None]
@@ -882,7 +1153,41 @@ class ShardedForest:
                 final[:, seg][missing] = assigned_np[missing]
             else:
                 raise RuntimeError("sharded engine failed to drain a window")
-        self._windows[q["win_idx"]] = (final, valids)
+        win["assigned"] = final
+
+    def _retry_buffer_window(self, q: dict) -> None:
+        r"""Drain a buffer window whose step left pending CF rows on some
+        device (rare): split fully, then masked re-steps until placed."""
+        m = self.batch_size
+        win = self._windows[q["win_idx"]]
+        final = np.array(np.asarray(win["assigned"]))  # (D, m)
+        valids = win["valids"]
+        valid_rows = np.arange(m)[None, :] < valids[:, None]
+        for _attempt in range(64):
+            missing = (final == -1) & valid_rows
+            if not missing.any():
+                break
+            self._split_drain(drain=True)
+            self._ensure_capacity(m, p_incoming=m)
+            self.state, assigned, _enc = self._buffer_window_program(
+                self.state, q["dev_ls"], q["dev_n"],
+                jax.device_put(missing, self._sharding),
+                jnp.float32(self.threshold), jnp.float32(self.tolerance),
+                m=m, criterion=self.merge_criterion,
+                block=self.route_block, max_rounds=self.max_rounds,
+                narrow=m // 4, split_k=self.split_k, fanout=self.fanout,
+            )
+            n_miss = int(missing.sum(1).max(initial=0))
+            self._num_upper += n_miss
+            self._g_upper += n_miss + self.split_k
+            self._ls_upper += n_miss
+            assigned_np = np.asarray(assigned).reshape(final.shape)
+            final[missing] = assigned_np[missing]
+        else:
+            raise RuntimeError(
+                "sharded engine failed to drain a buffer window"
+            )
+        win["assigned"] = final
 
     # -- merge ---------------------------------------------------------------
 
@@ -931,9 +1236,9 @@ class ShardedForest:
                 self._ensure_capacity(m_b + 1)
                 recv = self._exchange_program(self.state, stride=stride)
                 self.state, amap = self._merge_program(
-                    self.state, recv, jnp.float32(gate),
+                    self.state, recv, jnp.int32(stride), jnp.float32(gate),
                     jnp.float32(self.merge_threshold),
-                    jnp.float32(self.tolerance), stride=stride, m_b=m_b,
+                    jnp.float32(self.tolerance), m_b=m_b,
                     criterion=self.merge_criterion_merge,
                     block=self.route_block, max_rounds=self.max_rounds,
                     split_k=self.split_k, fanout=self.fanout,
@@ -983,31 +1288,178 @@ class ShardedForest:
     # -- extraction ----------------------------------------------------------
 
     def labels(self) -> np.ndarray:
-        r"""Final cluster slot per input row (composed on host)."""
+        r"""Final cluster slot per molecule id (composed on host).
+
+        The output is indexed by MOLECULE id: sequential fits produce one
+        row per input row in order; after :meth:`refine_inplace` the ids
+        still address the original input rows (surviving clusters carry
+        their member ids through the CF-buffer windows).
+        """
         self.merge()
         d = self.n_devices
-        m, k = self.batch_size, self.scan_batches
-        win_d = k * m
         parts: list[np.ndarray] = []
         dev_parts: list[np.ndarray] = []
-        for assigned, valids in self._windows:
-            arr = np.asarray(assigned)  # (D, k*m)
+        spans: list[tuple[dict, int, int, int]] = []  # (win, dev, a, b)
+        pos = 0
+        for win in self._windows:
+            arr = np.asarray(win["assigned"])
             for dev in range(d):
-                nv = int(valids[dev])
+                nv = int(win["valids"][dev])
                 if nv:
                     parts.append(arr[dev, :nv])
                     dev_parts.append(np.full(nv, dev, np.int64))
+                    spans.append((win, dev, pos, pos + nv))
+                    pos += nv
         if not parts:
             return np.empty(0, np.int64)
-        labels = np.concatenate(parts).astype(np.int64)
+        slots = np.concatenate(parts).astype(np.int64)
         dev_of = np.concatenate(dev_parts)
         for stride, maps in self._round_maps:
             for recv_d, amap in maps.items():
                 sent = dev_of == recv_d + stride
                 if sent.any():
-                    labels[sent] = amap[labels[sent]]
+                    slots[sent] = amap[slots[sent]]
                     dev_of[sent] = recv_d
-        return labels
+        # Scatter window rows back to molecule ids
+        out = np.full(self._n_mols, -1, np.int64)
+        for win, dev, a, b in spans:
+            if win["kind"] == "fps":
+                mols = win["mols"][dev, : b - a]
+                out[mols] = slots[a:b]
+            else:
+                row_slots = slots[a:b]
+                for i, seq in enumerate(win["mols"][dev][: b - a]):
+                    if seq:
+                        out[np.asarray(seq, dtype=np.int64)] = row_slots[i]
+        return out
+
+    def cluster_mols(self) -> list[list[int]]:
+        r"""Molecule ids per merged cluster slot (host-side)."""
+        labels = self.labels()
+        ncl = self.num_clusters
+        present = labels >= 0
+        order = np.argsort(labels[present], kind="stable")
+        mol_ids = np.flatnonzero(present)[order]
+        bounds = np.searchsorted(
+            labels[present][order], np.arange(ncl + 1)
+        )
+        return [
+            mol_ids[bounds[i] : bounds[i + 1]].tolist() for i in range(ncl)
+        ]
+
+    # -- refinement ------------------------------------------------------
+
+    def reset(
+        self,
+        *,
+        threshold: float | None = None,
+        merge_criterion: str | None = None,
+        tolerance: float | None = None,
+    ) -> None:
+        r"""Clear the forest (all devices), optionally re-parameterized.
+        Molecule-id space is preserved so refinement labels stay addressed
+        by the original input rows."""
+        self.flush()
+        if threshold is not None:
+            self.threshold = threshold
+            self.merge_threshold = threshold + self._merge_threshold_change
+        if merge_criterion is not None:
+            self.merge_criterion = merge_criterion
+            self.merge_criterion_merge = merge_criterion
+        if tolerance is not None:
+            self.tolerance = tolerance
+        self.state = self._init_stacked()
+        self._num_upper = 0
+        self._g_upper = 1
+        self._ls_upper = 0
+        self._windows = []
+        self._boundary_queue = []
+        self._round_maps = []
+        self._merged = False
+
+    def refine_inplace(
+        self,
+        X: "np.ndarray | tp.Any",
+        initial_mol: int = 0,
+        input_is_packed: bool = True,
+        n_largest: int = 1,
+        *,
+        threshold: float | None = None,
+        merge_criterion: str | None = None,
+        tolerance: float | None = None,
+    ) -> "ShardedForest":
+        r"""Explode the ``n_largest`` merged clusters into singletons and
+        re-fit over the mesh.
+
+        Mirrors ``BatchTree.refine_inplace`` (reference flow
+        ``bblean/bitbirch.py:1187-1214`` + the in-worker refinement of
+        ``bblean/multiround.py:196-214``): surviving clusters re-insert as
+        sharded CF buffers largest-first, then the exploded rows re-insert
+        as sharded singletons (their original fingerprints reloaded from
+        ``X`` by molecule id), and the reduction rounds re-merge.
+        """
+        if n_largest < 0:
+            raise ValueError("n_largest must be >= 0")
+        self.merge()
+        sizes = self.cluster_sizes()
+        ls = self.linear_sums()
+        mols = self.cluster_mols()
+        order = np.argsort(-sizes, kind="stable")
+        big, rest = order[:n_largest], order[n_largest:]
+
+        exploded_mols = [m for i in big for m in mols[i]]
+        from bblean_tpu.engine.batch import _load_rows_by_mol
+
+        rows, row_mols = _load_rows_by_mol(
+            X, exploded_mols, initial_mol, input_is_packed
+        )
+
+        buffers = np.concatenate(
+            [ls[rest], sizes[rest, None]], axis=1, dtype=np.int64
+        )
+        buffer_mols = [mols[i] for i in rest]
+
+        self.reset(
+            threshold=threshold,
+            merge_criterion=merge_criterion,
+            tolerance=tolerance,
+        )
+        if len(buffers):
+            self.insert_buffers(buffers, buffer_mols)
+        if len(rows):
+            self.fit_packed(rows, np.asarray(row_mols, dtype=np.int64))
+        self.merge()
+        return self
+
+    def recluster_inplace(
+        self,
+        iterations: int = 1,
+        extra_threshold: float = 0.0,
+        shuffle: bool = False,
+        seed: int | None = None,
+    ) -> "ShardedForest":
+        r"""Re-insert every merged cluster as a sharded CF buffer,
+        optionally shuffled, bumping the threshold per iteration (the
+        sharded twin of ``BatchTree.recluster_inplace``)."""
+        rng = np.random.default_rng(seed)
+        for _ in range(iterations):
+            self.merge()
+            sizes = self.cluster_sizes()
+            ls = self.linear_sums()
+            mols = self.cluster_mols()
+            order = (
+                rng.permutation(len(sizes))
+                if shuffle
+                else np.argsort(-sizes, kind="stable")
+            )
+            buffers = np.concatenate(
+                [ls[order], sizes[order, None]], axis=1, dtype=np.int64
+            )
+            buffer_mols = [mols[i] for i in order]
+            self.reset(threshold=self.threshold + extra_threshold)
+            self.insert_buffers(buffers, buffer_mols)
+            self.merge()
+        return self
 
     @property
     def num_clusters(self) -> int:
@@ -1063,7 +1515,7 @@ def sharded_fit(
     merge_threshold_change: float = 0.0,
     merge_gate_margin: float = 0.15,
     batch_size: int = 256,
-    scan_batches: int = 4,
+    scan_batches: int = 16,
     capacity: int | None = None,
     g_capacity: int | None = None,
     fanout: int | None = None,

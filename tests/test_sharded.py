@@ -42,9 +42,33 @@ def _fit(fps, n_dev, threshold=0.65):
     )
 
 
-def test_eight_device_fit(fps) -> None:
+# Module-scoped fitted results: the SPMD programs take minutes to compile
+# cold on a 1-core host, so tests share one fit per (mesh, threshold)
+# instead of refitting (cuts the cold suite wall time; determinism tests
+# prove run-to-run stability so sharing loses no coverage)
+@pytest.fixture(scope="module")
+def res8(fps):
+    return _fit(fps, 8)
+
+
+@pytest.fixture(scope="module")
+def res1(fps):
+    return _fit(fps, 1)
+
+
+@pytest.fixture(scope="module")
+def res8_t03(fps):
+    return _fit(fps, 8, threshold=0.3)
+
+
+@pytest.fixture(scope="module")
+def res4(fps):
+    return _fit(fps, 4)
+
+
+def test_eight_device_fit(res8) -> None:
     assert len(jax.devices()) >= 8
-    res = _fit(fps, 8)
+    res = res8
     assert res.labels.shape == (600,)
     assert res.labels.min() >= 0
     assert res.num_clusters == len(res.sizes)
@@ -54,19 +78,16 @@ def test_eight_device_fit(fps) -> None:
     assert res.sizes.sum() == 600
 
 
-def test_cohesion_invariant_after_merge(fps) -> None:
-    res = _fit(fps, 8, threshold=0.65)
-    for ls, n in zip(res.linear_sums, res.sizes):
+def test_cohesion_invariant_after_merge(res8) -> None:
+    for ls, n in zip(res8.linear_sums, res8.sizes):
         if n >= 2:
             assert (
                 jt_isim_from_sum(ls.astype(np.uint64), int(n)) >= 0.65 - 1e-5
             )
 
 
-def test_parallel_vs_single_device(fps) -> None:
+def test_parallel_vs_single_device(res8, res1) -> None:
     r"""8-device and 1-device sharded fits agree on cluster statistics."""
-    res8 = _fit(fps, 8)
-    res1 = _fit(fps, 1)
     assert abs(res8.num_clusters - res1.num_clusters) <= 0.1 * res1.num_clusters + 5
     # Total mass conserved in both
     assert res8.sizes.sum() == res1.sizes.sum() == 600
@@ -81,7 +102,7 @@ def _weighted_isim(sums, counts) -> float:
     return tot / max(w, 1.0)
 
 
-def test_sharded_matches_serial_quality(fps) -> None:
+def test_sharded_matches_serial_quality(fps, res8_t03) -> None:
     r"""8-device sharded AND single-device batch cluster counts both land
     within 20% of the serial exact engine, and sharded cohesion matches the
     batch engine (the sharded analogue of ``test_near_serial_agreement``).
@@ -100,7 +121,7 @@ def test_sharded_matches_serial_quality(fps) -> None:
         .fit(np.packbits(fps, axis=-1))
         .get_cluster_mol_ids()
     )
-    res8 = _fit(fps, 8, threshold=threshold)
+    res8 = res8_t03
     tree = BatchTree(
         2048, threshold=threshold, batch_size=128, initial_capacity=1024,
         route_block=128,
@@ -115,9 +136,9 @@ def test_sharded_matches_serial_quality(fps) -> None:
     assert w8 >= w1 - 0.02
 
 
-def test_merge_round_threshold_change(fps) -> None:
+def test_merge_round_threshold_change(fps, res4) -> None:
     r"""Merge rounds honoring a threshold change merge more aggressively."""
-    strict = _fit(fps, 4, threshold=0.65)
+    strict = res4
     mesh = get_mesh(4)
     loose = sharded_fit(
         fps, mesh, threshold=0.65, merge_threshold_change=-0.35,
@@ -127,8 +148,8 @@ def test_merge_round_threshold_change(fps) -> None:
     assert loose.sizes.sum() == 600
 
 
-def test_linear_sums_match_members(fps) -> None:
-    res = _fit(fps, 4)
+def test_linear_sums_match_members(fps, res4) -> None:
+    res = res4
     for slot in range(res.num_clusters):
         members = np.nonzero(res.labels == slot)[0]
         assert (res.linear_sums[slot] == fps[members].sum(0)).all()
@@ -179,3 +200,112 @@ def test_single_device_matches_batch_engine(fps) -> None:
     assert sorted(res.sizes.tolist()) == sorted(
         tree.cluster_sizes().tolist()
     )
+
+
+def test_sharded_refine_inplace(fps) -> None:
+    r"""Sharded refinement (explode n-largest -> CF-buffer + singleton
+    re-fit over the mesh -> re-merge) mirrors BatchTree.refine_inplace:
+    mass conserved, every row labeled, label histogram == sizes."""
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = np.packbits(fps, axis=-1)
+    mesh = get_mesh(4)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.3, batch_size=128, route_block=128,
+        scan_batches=2,
+    )
+    forest.fit_packed(packed)
+    forest.merge()
+    labels0 = forest.labels()
+    sizes0 = forest.cluster_sizes()
+    big2 = set(np.argsort(-sizes0, kind="stable")[:2].tolist())
+    exploded = {i for i, l in enumerate(labels0) if int(l) in big2}
+
+    forest.refine_inplace(packed, n_largest=2, threshold=0.35)
+    labels = forest.labels()
+    assert labels.shape == (600,)
+    assert (labels >= 0).all()
+    sizes = forest.cluster_sizes()
+    assert sizes.sum() == 600
+    hist = np.bincount(labels, minlength=forest.num_clusters)
+    assert (hist == sizes).all()
+    # Surviving clusters keep their membership intact: rows NOT exploded
+    # that shared a cluster before still share one after
+    kept = [i for i in range(600) if i not in exploded]
+    for a, b in zip(kept[::7], kept[1::7]):
+        if labels0[a] == labels0[b]:
+            assert labels[a] == labels[b]
+
+
+def test_sharded_insert_buffers_roundtrip() -> None:
+    r"""CF buffers inserted sharded agree with the single-chip BatchTree
+    on the merged cluster statistics."""
+    from bblean_tpu.engine.batch import BatchTree
+    from bblean_tpu.parallel import ShardedForest
+
+    rng = np.random.default_rng(5)
+    ls = rng.integers(0, 6, size=(300, 2048), dtype=np.int64)
+    ns = np.maximum(ls.max(axis=1), 1).astype(np.int64)
+    buffers = np.concatenate([ls, ns[:, None]], axis=1)
+    mol_seqs = [[i] for i in range(300)]
+
+    mesh = get_mesh(4)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.3, batch_size=128, route_block=128,
+        scan_batches=2,
+    )
+    forest.insert_buffers(buffers, mol_seqs)
+    forest.merge()
+    assert forest.cluster_sizes().sum() == ns.sum()
+    labels = forest.labels()
+    assert labels.shape == (300,)
+    assert (labels >= 0).all()
+
+    tree = BatchTree(
+        2048, threshold=0.3, batch_size=128, route_block=128,
+        initial_capacity=1024,
+    )
+    tree.insert_buffers(buffers, mol_seqs)
+    # Same merged mass; cluster counts near-identical (ordering differs
+    # only across device boundaries)
+    assert tree.cluster_sizes().sum() == ns.sum()
+    assert abs(forest.num_clusters - tree.num_clusters) <= max(
+        3, 0.1 * tree.num_clusters
+    )
+
+
+def test_sharded_recluster_inplace(fps) -> None:
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = np.packbits(fps, axis=-1)
+    mesh = get_mesh(4)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.3, batch_size=128, route_block=128,
+        scan_batches=2,
+    )
+    forest.fit_packed(packed)
+    n_before = forest.num_clusters
+    forest.recluster_inplace()
+    labels = forest.labels()
+    assert labels.shape == (600,)
+    assert forest.cluster_sizes().sum() == 600
+    # Re-inserting whole CF buffers can only merge clusters, never split
+    assert forest.num_clusters <= n_before
+
+
+def test_pipeline_depth_invariant(fps) -> None:
+    r"""Deeper window pipelining changes scheduling, never labels."""
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = np.packbits(fps, axis=-1)
+    results = []
+    for depth in (1, 3):
+        mesh = get_mesh(4)
+        forest = ShardedForest(
+            2048, mesh, threshold=0.65, batch_size=64, route_block=128,
+            scan_batches=2, pipeline_depth=depth,
+        )
+        forest.fit_packed(packed)
+        forest.merge()
+        results.append(forest.labels())
+    assert (results[0] == results[1]).all()
