@@ -36,6 +36,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: the sharded SPMD programs take minutes to
-# compile on the 1-core CPU host; cache them across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/bblean_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# compile on a 1-core CPU host.  The cache lives IN-REPO (committed for the
+# expensive entries) so a fresh environment's cold `make test` skips the
+# multi-minute shard_map compiles; stale entries (different jaxlib) are
+# ignored by XLA's cache key, costing nothing but disk.
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
