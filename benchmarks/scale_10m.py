@@ -1,17 +1,25 @@
 """North-star scale validation: 10M x 2048-bit fingerprints, one chip.
 
-Measured on a single TPU v5e (2026-08-16, narrow-retry + two-pass-commit
-engine):
+Measured on a single TPU v5e (2026-08-19, fused-scan + depth-pipelined
+engine; timed tree warmed via ``warm_programs`` so compile/program-load and
+first-window allocator churn are excluded — the timing covers every host
+bookkeeping and boundary-sync cost of the steady engine):
 
-    t=0.65: fit 109.5 s = 91,293 fps/s (8.2x the reference's single-core
-        C++ cap); 9,783,327 clusters; 43,003 groups; 2,588 ls-pool rows;
-        HBM ~10 GB (tiles 8.6 GB dominate; fps streamed, never resident);
-        cluster_mols() for 10M rows: 22 s
-    t=0.3 (the reference CLI's default): fit 101.9 s = 98,159 fps/s (8.8x);
-        3,977,532 clusters; 17,364 groups; 16,849 ls-pool rows; HBM ~5 GB
-        tables + the 2.6 GB staged input; cluster_mols() for 10M rows: 21 s
-    20M @ t=0.3 (streamed input, g_capacity 2^15, ls_capacity 2^16):
+    t=0.3 (the reference CLI's default): fit 77.8 s = 128,456 fps/s (11.6x
+        the reference's single-core C++ cap); 3,977,532 clusters; 17,364
+        groups; 16,849 ls-pool rows; input device-resident;
+        cluster_mols() for 10M rows: 17 s
+    t=0.65 (the library default): fit 91.3-96.8 s = 103,324-109,562 fps/s
+        (9.3-9.9x) over two runs; 9,783,327 clusters; 43,003 groups; 2,588
+        ls-pool rows; tables ~10 GiB + the 2.56 GiB input resident;
+        host-streamed fallback for inputs that exceed HBM:
+        152.5 s = 65,579 fps/s
+    20M @ t=0.3 (streamed input, g_capacity 2^15, ls_capacity 2^16,
+        2026-08-16 round-2 engine — predates the numbers above):
         fit 259.8 s = 76,990 fps/s; 7,981,627 clusters
+
+Cluster counts are bit-identical across engine revisions (same seed =>
+same labels); only the wall time moves.
 
 Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
 
@@ -72,10 +80,16 @@ def main() -> None:
         # (singletons), 17k at t=0.3 (few giant clusters + singletons)
         ls_capacity=1 << 16,
     )
-    if threshold < 0.5:
-        # t=0.3 tables leave room for the input in HBM: on-device slicing
-        # beats streamed host uploads by ~20 s at 10M (fps stay resident)
-        fps = jax.device_put(fps)
+    # Keep the input device-resident whenever it fits next to the tables:
+    # on-device slicing beats the streamed host-upload path by ~40% at
+    # t=0.65 (109.6k vs 65.6k fps/s at 10M) — NOT because of transfer
+    # bandwidth (a bulk device_put moves 2.56 GB in 3.5 s here) but because
+    # the per-window staging (pad + contiguous copy + upload) serializes
+    # against the scan dispatches.  At 10M the t=0.65 tables (~10 GiB) +
+    # 2.56 GiB of input still fit a 16 GiB chip; past ~12M rows the input
+    # streams (the 20M line below).
+    if threshold < 0.5 or fps.nbytes <= 3.0e9:
+        fps = jax.device_put(np.asarray(fps))
         jax.block_until_ready(fps)
 
     # Warm-up: compile every program at the final table shapes, including
@@ -110,6 +124,10 @@ def main() -> None:
         f"fit: {dt:.1f}s = {n / dt:,.0f} fps/s  clusters={num:,} "
         f"groups={tree.num_groups:,}  ls_pool={int(tree.state.num_ls):,}"
     )
+    # Release the resident input before extraction: the fit no longer needs
+    # it, and 2.56 GB next to near-full tables makes extraction's device
+    # passes allocate under pressure (measured 62 s vs 25 s at 10M t=0.65)
+    del fps
     t0 = time.perf_counter()
     sizes = tree.cluster_sizes()
     mols = tree.cluster_mols()
