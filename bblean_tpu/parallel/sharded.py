@@ -83,6 +83,16 @@ class ShardedClusters(tp.NamedTuple):
     num_clusters: int
 
 
+@jax.jit
+def _slice_window(resident: Array, w) -> Array:
+    r"""One window's rows from the window-major resident input buffer.
+
+    The window index is traced so every window reuses ONE compiled slice
+    (a static ``resident[w]`` compiles + loads a fresh program per window,
+    which costs more than the upload it replaces)."""
+    return lax.dynamic_index_in_dim(resident, w, axis=0, keepdims=False)
+
+
 def _sq(tree):
     r"""Strip the leading singleton axis shard_map leaves on a 1-D mesh."""
     return jax.tree.map(lambda x: x[0], tree)
@@ -363,6 +373,7 @@ class ShardedForest:
         max_rounds: int = 24,
         use_pallas_search: bool = False,
         pipeline_depth: int = 3,
+        resident_input_bytes: int = 0,
         axis_name: str = "dp",
     ) -> None:
         if fanout is None:
@@ -403,6 +414,16 @@ class ShardedForest:
         # depth pipelining as BatchTree: popping only the oldest blocks on
         # a window that already finished while newer ones compute)
         self.pipeline_depth = max(1, pipeline_depth)
+        # Inputs at most this many bytes are uploaded once as a resident
+        # window-major device buffer and sliced on device per window.  OFF
+        # by default: unlike BatchTree (which slices the resident input
+        # INSIDE the scan program at a traced offset), this inserts a
+        # standalone slice dispatch between window programs, measured 2.2x
+        # SLOWER than streamed uploads at 1M t=0.3 on a v5e (25.6 s vs
+        # 11.6 s fit, identical clusters).  Kept as an opt-in for backends
+        # where host staging dominates; the real fix is in-program slicing
+        # (see ROADMAP).
+        self.resident_input_bytes = resident_input_bytes
         self.split_k = 64
 
         self.capacity = _next_pow2(
@@ -813,9 +834,13 @@ class ShardedForest:
         packed_fps: "np.ndarray",
         mol_indices: "tp.Sequence[int] | np.ndarray | None" = None,
     ) -> None:
-        r"""Stream packed fingerprint rows through the mesh.
+        r"""Insert packed fingerprint rows sharded over the mesh.
 
-        ``packed_fps`` may be a memmap; the host materializes one
+        Inputs that fit ``resident_input_bytes`` (or arrive as device
+        arrays) are uploaded ONCE as a window-major resident buffer and
+        sliced on device per window (opt-in; see the constructor note —
+        the standalone slice dispatch measures SLOWER than streaming on a
+        v5e).  Otherwise (``packed_fps`` may be a memmap) rows stream one
         ``D * scan_batches * batch_size`` window at a time (plus one window
         of prefetch), so host RSS is bounded by the window size, not the
         input.  Rows are assigned to devices in contiguous per-window
@@ -848,25 +873,57 @@ class ShardedForest:
         if num:
             self._n_mols = max(self._n_mols, int(mol_arr.max()) + 1)
 
+        resident = None
+        if num and (
+            isinstance(packed_fps, jax.Array)
+            or num * self.n_bytes <= self.resident_input_bytes
+        ):
+            n_w = -(-num // window)
+            pad = n_w * window - num
+            if isinstance(packed_fps, jax.Array):
+                buf = (
+                    jnp.pad(packed_fps, ((0, pad), (0, 0)))
+                    if pad
+                    else packed_fps
+                )
+            else:
+                buf = np.asarray(packed_fps)
+                if pad:
+                    buf = np.pad(buf, ((0, pad), (0, 0)))
+            # Window-major layout: resident[w] is one window's rows,
+            # sharded over devices in the same contiguous per-device
+            # blocks the streamed path uploads (labels are identical)
+            resident = jax.device_put(
+                buf.reshape(n_w, window, self.n_bytes),
+                NamedSharding(self.mesh, P(None, self.axis_name)),
+            )
+
         def upload(start: int):
             stop = min(start + window, num)
             if stop <= start:
                 return None, None, None
-            chunk = np.asarray(packed_fps[start:stop])
             mols = mol_arr[start:stop]
             if stop - start < window:
-                chunk = np.pad(chunk, ((0, window - (stop - start)), (0, 0)))
                 mols = np.pad(
                     mols, (0, window - (stop - start)), constant_values=-1
                 )
             valids = np.clip(
                 (stop - start) - win_d * np.arange(d), 0, win_d
             ).astype(np.int32)
-            return (
-                jax.device_put(np.ascontiguousarray(chunk), self._sharding),
-                valids,
-                mols.reshape(d, win_d),
-            )
+            if resident is not None:
+                dev_buf = _slice_window(  # device-local slice
+                    resident, jnp.int32(start // window)
+                )
+            else:
+                chunk = np.asarray(packed_fps[start:stop])
+                if stop - start < window:
+                    chunk = np.pad(
+                        chunk, ((0, window - (stop - start)), (0, 0))
+                    )
+                dev_buf = jax.device_put(
+                    np.ascontiguousarray(chunk), self._sharding
+                )
+            return dev_buf, valids, mols.reshape(d, win_d)
 
         next_up = upload(0)
         for start in range(0, num, window):
