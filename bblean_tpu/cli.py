@@ -377,6 +377,10 @@ def _run_sharded_engine(
                 threshold=threshold + refine_threshold_change,
                 merge_criterion=refine_merge_criterion,
                 tolerance=tolerance,
+                # The refined threshold already carries the delta; zero the
+                # stored fit->merge change so the reduction rounds run at
+                # threshold + change, not threshold + 2 * change
+                merge_threshold_change=0.0,
             )
     for r in range(recluster_rounds):
         with console.status(

@@ -5,16 +5,21 @@ TPU-native re-design of the reference's multiround pipeline
 CF *files* bin-by-bin, a 1-D device mesh runs one batched CF-forest per
 device and merges them over ICI.
 
-**Fit phase** — the input streams through the host in windows of
-``n_devices * scan_batches * batch_size`` packed rows; each window is
+**Fit phase** — inputs that fit ``resident_input_bytes`` upload ONCE as a
+window-major resident buffer sharded over the mesh, and every window's
+``shard_map`` dispatch slices its rows at a traced offset INSIDE the fused
+scan program (slice+unpack -> insert rounds -> split pass,
+``engine/batch.py``) — the same in-program slicing the single-chip
+``BatchTree`` uses, so the host's per-window work is pure bookkeeping.
+Larger inputs stream through the host in windows of ``n_devices *
+scan_batches * batch_size`` packed rows (one window of prefetch), each
 placed with a ``NamedSharding`` so every device receives its contiguous
-sub-block, and one ``shard_map`` dispatch runs the fused scan program
-(slice+unpack -> insert rounds -> split pass, ``engine/batch.py``) on every
-device in parallel.  No collectives run during the fit, per-device state is
-the same sparse bounded structure the single-chip ``BatchTree`` uses
-(packed tiles + sparse linear-sum pool), and capacity grows on demand from
-cluster counts — per-device HBM is bounded by the *clusters* a device
-discovers, never by the input size (the round-2 design held dense
+sub-block; both paths compose identical batches, so labels are identical.
+No collectives run during the fit, per-device state is the same sparse
+bounded structure ``BatchTree`` uses (packed tiles + sparse linear-sum
+pool), and capacity grows on demand from cluster counts — per-device HBM
+is bounded by the *clusters* a device discovers plus its input shard,
+never by dense per-row tables (the round-2 design held dense
 ``(rows_per_device, F)`` tables and could not scale).
 
 **Merge phase** — ``ceil(log2(D))`` reduction rounds (the reference's
@@ -48,7 +53,7 @@ from __future__ import annotations
 
 import math
 import typing as tp
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +342,343 @@ def _merge_into_impl(
     return state, amap
 
 
+# -- device programs (module-level, shared across forest instances) ----------
+#
+# One ``jax.jit`` wrapper per (mesh, axis, pallas-flag), NOT per forest: a
+# per-instance jit re-traces and re-LOADS the executable for every fresh
+# forest, which on a TPU-tunnel backend costs seconds before its first
+# window can run (measured 3.8-5.9 s of first-submit block at 1M — the bulk
+# of the gap to ``BatchTree``, whose programs are module-level jits shared
+# across trees).  ``Mesh`` hashes by devices + axis names, so the cache key
+# is exact.
+
+
+@lru_cache(maxsize=None)
+def _fit_window_program_for(mesh: Mesh, ax: str, use_pallas: bool):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "k", "m", "n_features", "criterion", "block", "max_rounds",
+            "narrow", "split_k", "fanout",
+        ),
+        donate_argnums=(0,),
+    )
+    def fit_window(
+        state, dev_fps, n_valid, threshold, tolerance, *, k, m,
+        n_features, criterion, block, max_rounds, narrow, split_k,
+        fanout,
+    ):
+        def body(state, fps, nv, thr, tol):
+            st, assigned, encs = _scan_fit_packed_impl(
+                _sq(state), fps, jnp.int32(0), nv[0], thr, tol,
+                k=k, m=m, n_features=n_features,
+                criterion=criterion, block=block, max_rounds=max_rounds,
+                use_pallas=use_pallas, narrow=narrow, split_k=split_k,
+                fanout=fanout,
+            )
+            return _ex(st), assigned[None], encs[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(), P()),
+            out_specs=(P(ax), P(ax), P(ax)),
+            check_vma=False,
+        )(state, dev_fps, n_valid, threshold, tolerance)
+
+    return fit_window
+
+
+@lru_cache(maxsize=None)
+def _fit_resident_program_for(mesh: Mesh, ax: str, use_pallas: bool):
+    r"""Fused scan over a window of a RESIDENT window-major input.
+
+    The whole ``(n_w, window, F8)`` buffer enters the shard_map (each
+    device's block is its contiguous per-window rows) and the window
+    index ``w`` is a traced scalar: the scan slices rows at offset
+    ``w * scan_batches * batch_size`` INSIDE the program — the same
+    traced-offset slicing ``BatchTree._submit_scan`` uses for device
+    inputs.  This removes both the per-window host staging of the
+    streamed path and the standalone slice dispatch of the old
+    resident path (which serialized against the scan and measured
+    2.2x slower); one program compiles per distinct ``n_w``.
+    """
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "k", "m", "n_features", "criterion", "block", "max_rounds",
+            "narrow", "split_k", "fanout",
+        ),
+        donate_argnums=(0,),
+    )
+    def fit_window_resident(
+        state, resident, w, n_valid, threshold, tolerance, *, k, m,
+        n_features, criterion, block, max_rounds, narrow, split_k,
+        fanout,
+    ):
+        def body(state, res, w, nv, thr, tol):
+            # res: (n_w, win_d, F8) device-local block — flattening
+            # row-major puts window w's rows at offset w * win_d (a
+            # free reshape; the scan's dynamic slice does the rest)
+            flat = res.reshape(-1, res.shape[-1])
+            st, assigned, encs = _scan_fit_packed_impl(
+                _sq(state), flat, w * (k * m), nv[0], thr, tol,
+                k=k, m=m, n_features=n_features,
+                criterion=criterion, block=block, max_rounds=max_rounds,
+                use_pallas=use_pallas, narrow=narrow, split_k=split_k,
+                fanout=fanout,
+            )
+            return _ex(st), assigned[None], encs[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(None, ax), P(), P(ax), P(), P()),
+            out_specs=(P(ax), P(ax), P(ax)),
+            check_vma=False,
+        )(state, resident, w, n_valid, threshold, tolerance)
+
+    return fit_window_resident
+
+
+@lru_cache(maxsize=None)
+def _retry_program_for(mesh: Mesh, ax: str, use_pallas: bool):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "m", "n_features", "criterion", "block", "max_rounds",
+            "narrow",
+        ),
+        donate_argnums=(0,),
+    )
+    def retry(
+        state, dev_fps, start, n_valid, missing, threshold, tolerance,
+        *, m, n_features, criterion, block, max_rounds, narrow,
+    ):
+        def body(state, fps, st0, nv, miss, thr, tol):
+            rows = _slice_prep_fp_rows_impl(
+                fps, st0[0], nv[0], m, n_features
+            )
+            row_ls, row_n, row_cent, row_pk, row_pop = rows
+            row_n = jnp.where(miss[0], row_n, 0)
+            st, assigned, _enc = _batch_step_impl(
+                _sq(state), row_ls, row_n, row_cent, row_pk, row_pop,
+                thr, tol, criterion=criterion, block=block,
+                max_rounds=max_rounds, use_pallas=use_pallas,
+                narrow=narrow,
+            )
+            return _ex(st), assigned[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(), P()),
+            out_specs=(P(ax), P(ax)),
+            check_vma=False,
+        )(state, dev_fps, start, n_valid, missing, threshold, tolerance)
+
+    return retry
+
+
+@lru_cache(maxsize=None)
+def _buffer_window_program_for(mesh: Mesh, ax: str, use_pallas: bool):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "m", "criterion", "block", "max_rounds", "narrow",
+            "split_k", "fanout",
+        ),
+        donate_argnums=(0,),
+    )
+    def buffer_window(
+        state, row_ls, row_n, missing, threshold, tolerance, *, m,
+        criterion, block, max_rounds, narrow, split_k, fanout,
+    ):
+        r"""One batch of pre-aggregated CF rows per device (the
+        sharded twin of ``BatchTree.insert_buffers``'s step)."""
+
+        def body(state, ls, n, miss, thr, tol):
+            # ls/n shard to (m, F)/(m,) blocks; miss keeps a leading
+            # device axis of 1 (it is a (D, m) host mask)
+            n_eff = jnp.where(miss[0], n, 0)
+            cent = majority_centroid_from_sums(
+                ls, jnp.maximum(n_eff, 1)
+            )
+            row_pk = pack_fingerprints_device(cent)
+            row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
+            st, assigned, enc = _batch_step_impl(
+                _sq(state), ls, n_eff, cent.astype(jnp.bfloat16),
+                row_pk, row_pop, thr, tol, criterion=criterion,
+                block=block, max_rounds=max_rounds,
+                use_pallas=use_pallas, narrow=narrow,
+            )
+            st, _ = _split_topk_impl(st, k=split_k, fanout=fanout)
+            return _ex(st), assigned[None], enc[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
+            out_specs=(P(ax), P(ax), P(ax)),
+            check_vma=False,
+        )(state, row_ls, row_n, missing, threshold, tolerance)
+
+    return buffer_window
+
+
+@lru_cache(maxsize=None)
+def _split_program_for(mesh: Mesh, ax: str):
+    @partial(
+        jax.jit, static_argnames=("k", "fanout"), donate_argnums=(0,)
+    )
+    def split(state, *, k, fanout):
+        def body(state):
+            st, n_left = _split_topk_impl(_sq(state), k=k, fanout=fanout)
+            return _ex(st), n_left[None]
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(ax),),
+            out_specs=(P(ax), P(ax)), check_vma=False,
+        )(state)
+
+    return split
+
+
+@lru_cache(maxsize=None)
+def _exchange_program_for(mesh: Mesh, ax: str):
+    n_dev = int(mesh.devices.size)
+
+    @partial(jax.jit, static_argnames=("stride",))
+    def exchange(state, *, stride):
+        perm = [
+            (s, s - stride)
+            for s in range(n_dev)
+            if s % (2 * stride) == stride
+        ]
+
+        def body(state):
+            return _ex(jax.tree.map(
+                lambda x: lax.ppermute(x, ax, perm), _sq(state)
+            ))
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(ax),), out_specs=P(ax),
+            check_vma=False,
+        )(state)
+
+    return exchange
+
+
+@lru_cache(maxsize=None)
+def _merge_program_for(mesh: Mesh, ax: str):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "m_b", "criterion", "block", "max_rounds",
+            "split_k", "fanout",
+        ),
+        donate_argnums=(0,),
+    )
+    def merge(
+        state, recv, stride, gate, threshold, tolerance, *, m_b,
+        criterion, block, max_rounds, split_k, fanout,
+    ):
+        # stride is TRACED (it only feeds the is_recv predicate, never a
+        # shape): the reduction's log2(D) rounds all reuse ONE compiled
+        # program — this body is by far the most expensive compile in
+        # the package (tens of minutes on a 1-core CPU host), so one
+        # program vs log2(D) is the difference between a usable and an
+        # unusable cold test suite
+        def body(state, recv, strd, gt, thr, tol):
+            idx = lax.axis_index(ax)
+            is_recv = (idx % (2 * strd)) == 0
+            st, amap = _merge_into_impl(
+                _sq(state), _sq(recv), is_recv, gt, thr, tol,
+                m_b=m_b, criterion=criterion, block=block,
+                max_rounds=max_rounds, split_k=split_k, fanout=fanout,
+            )
+            return _ex(st), amap[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(), P(), P(), P()),
+            out_specs=(P(ax), P(ax)), check_vma=False,
+        )(state, recv, stride, gate, threshold, tolerance)
+
+    return merge
+
+
+@partial(jax.jit, static_argnames=("chunk", "n_features"))
+def _ls_chunk0(state, start, *, chunk, n_features):
+    r"""Dense linear sums of device 0's cluster slots (post-merge
+    extraction path of :meth:`ShardedForest.linear_sums`)."""
+    return _reconstruct_ls_chunk(
+        jax.tree.map(lambda x: x[0], state), start, chunk, n_features
+    )
+
+
+@lru_cache(maxsize=None)
+def _init_program_for(
+    mesh: Mesh, ax: str, d: int, capacity: int, g_capacity: int,
+    tile: int, n_features: int, ls_capacity: int,
+):
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(ax)))
+    def init():
+        base = _init_state(capacity, g_capacity, tile, n_features, ls_capacity)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (d, *x.shape)), base
+        )
+
+    return init
+
+
+@lru_cache(maxsize=None)
+def _grow_program_for(mesh: Mesh, ax: str, new_c: int, new_g: int, new_p: int):
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(ax)))
+    def grow(state):
+        # _grow_state knows the per-leaf pad rules (guard values);
+        # apply it under vmap over the device axis
+        return jax.vmap(
+            lambda s: _grow_state(s, new_c, new_g, new_p)
+        )(state)
+
+    return grow
+
+
+@lru_cache(maxsize=None)
+def _merge_retry_program_for(mesh: Mesh, ax: str):
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "m_b", "criterion", "block", "max_rounds", "split_k",
+            "fanout",
+        ),
+        donate_argnums=(0, 2),
+    )
+    def merge_retry(
+        state, recv, amap, threshold, tolerance, *, m_b, criterion,
+        block, max_rounds, split_k, fanout,
+    ):
+        def body(state, recv, amap, thr, tol):
+            st, recv_, amap_ = _sq(state), _sq(recv), _sq(amap)
+            # recv keeps its pre-growth capacity after the state grew
+            # mid-merge; every mask/map here is recv-sized
+            rc = recv_.n.shape[0]
+            ciota = lax.broadcasted_iota(jnp.int32, (rc, 1), 0)[:, 0]
+            ins = (ciota < recv_.num) & (recv_.n > 0) & (amap_ < 0)
+            st, amap_ = _insert_slots_impl(
+                st, recv_, ins, amap_, thr, tol, m_b=m_b,
+                criterion=criterion, block=block, max_rounds=max_rounds,
+                split_k=split_k, fanout=fanout,
+            )
+            return _ex(st), amap_[None]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(), P()),
+            out_specs=(P(ax), P(ax)), check_vma=False,
+        )(state, recv, amap, threshold, tolerance)
+
+    return merge_retry
+
+
 class ShardedForest:
     r"""Host driver for the SPMD sharded engine: one batched CF-forest per
     mesh device, merged over ICI after the fit.
@@ -373,7 +715,7 @@ class ShardedForest:
         max_rounds: int = 24,
         use_pallas_search: bool = False,
         pipeline_depth: int = 3,
-        resident_input_bytes: int = 0,
+        resident_input_bytes: int = 4 << 30,
         axis_name: str = "dp",
     ) -> None:
         if fanout is None:
@@ -414,15 +756,13 @@ class ShardedForest:
         # depth pipelining as BatchTree: popping only the oldest blocks on
         # a window that already finished while newer ones compute)
         self.pipeline_depth = max(1, pipeline_depth)
-        # Inputs at most this many bytes are uploaded once as a resident
-        # window-major device buffer and sliced on device per window.  OFF
-        # by default: unlike BatchTree (which slices the resident input
-        # INSIDE the scan program at a traced offset), this inserts a
-        # standalone slice dispatch between window programs, measured 2.2x
-        # SLOWER than streamed uploads at 1M t=0.3 on a v5e (25.6 s vs
-        # 11.6 s fit, identical clusters).  Kept as an opt-in for backends
-        # where host staging dominates; the real fix is in-program slicing
-        # (see ROADMAP).
+        # Inputs at most this many bytes (total, sharded across devices)
+        # are uploaded ONCE as a window-major resident device buffer and
+        # sliced at a traced offset INSIDE the scan program — the same
+        # in-program slicing BatchTree uses for device inputs, which is
+        # what closes the ~40% gap the old streamed-per-window staging
+        # cost (86k vs 141k fps/s at 1M t=0.3 on a v5e).  Inputs past the
+        # budget stream window-by-window with one window of prefetch.
         self.resident_input_bytes = resident_input_bytes
         self.split_k = 64
 
@@ -478,30 +818,15 @@ class ShardedForest:
     # -- device programs -----------------------------------------------------
 
     def _init_stacked(self) -> BatchState:
-        d = self.n_devices
-
-        @partial(jax.jit, out_shardings=self._sharding)
-        def init():
-            base = _init_state(
-                self.capacity, self.g_capacity, self.tile,
-                self.n_features, self.ls_capacity,
-            )
-            return jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (d, *x.shape)), base
-            )
-
-        return init()
+        return _init_program_for(
+            self.mesh, self.axis_name, self.n_devices, self.capacity,
+            self.g_capacity, self.tile, self.n_features, self.ls_capacity,
+        )()
 
     def _grow(self, new_c: int, new_g: int, new_p: int) -> None:
-        @partial(jax.jit, out_shardings=self._sharding)
-        def grow(state):
-            # _grow_state knows the per-leaf pad rules (guard values);
-            # apply it under vmap over the device axis
-            return jax.vmap(
-                lambda s: _grow_state(s, new_c, new_g, new_p)
-            )(state)
-
-        self.state = grow(self.state)
+        self.state = _grow_program_for(
+            self.mesh, self.axis_name, new_c, new_g, new_p
+        )(self.state)
         self.capacity, self.g_capacity, self.ls_capacity = new_c, new_g, new_p
 
     def _scan_g_headroom(self) -> int:
@@ -548,286 +873,109 @@ class ShardedForest:
 
     @property
     def _fit_window_program(self):
-        try:
-            return self.__dict__["_fit_window_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-        use_pallas = self.use_pallas_search
-
-        @partial(
-            jax.jit,
-            static_argnames=(
-                "k", "m", "n_features", "criterion", "block", "max_rounds",
-                "narrow", "split_k", "fanout",
-            ),
-            donate_argnums=(0,),
+        return _fit_window_program_for(
+            self.mesh, self.axis_name, self.use_pallas_search
         )
-        def fit_window(
-            state, dev_fps, n_valid, threshold, tolerance, *, k, m,
-            n_features, criterion, block, max_rounds, narrow, split_k,
-            fanout,
-        ):
-            def body(state, fps, nv, thr, tol):
-                st, assigned, encs = _scan_fit_packed_impl(
-                    _sq(state), fps, jnp.int32(0), nv[0], thr, tol,
-                    k=k, m=m, n_features=n_features,
-                    criterion=criterion, block=block, max_rounds=max_rounds,
-                    use_pallas=use_pallas, narrow=narrow, split_k=split_k,
-                    fanout=fanout,
-                )
-                return _ex(st), assigned[None], encs[None]
 
-            return jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(), P()),
-                out_specs=(P(ax), P(ax), P(ax)),
-                check_vma=False,
-            )(state, dev_fps, n_valid, threshold, tolerance)
-
-        self.__dict__["_fit_window_jit"] = fit_window
-        return fit_window
+    @property
+    def _fit_resident_program(self):
+        return _fit_resident_program_for(
+            self.mesh, self.axis_name, self.use_pallas_search
+        )
 
     @property
     def _retry_program(self):
-        try:
-            return self.__dict__["_retry_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-        use_pallas = self.use_pallas_search
-
-        @partial(
-            jax.jit,
-            static_argnames=(
-                "m", "n_features", "criterion", "block", "max_rounds",
-                "narrow",
-            ),
-            donate_argnums=(0,),
+        return _retry_program_for(
+            self.mesh, self.axis_name, self.use_pallas_search
         )
-        def retry(
-            state, dev_fps, start, n_valid, missing, threshold, tolerance,
-            *, m, n_features, criterion, block, max_rounds, narrow,
-        ):
-            def body(state, fps, st0, nv, miss, thr, tol):
-                rows = _slice_prep_fp_rows_impl(
-                    fps, st0[0], nv[0], m, n_features
-                )
-                row_ls, row_n, row_cent, row_pk, row_pop = rows
-                row_n = jnp.where(miss[0], row_n, 0)
-                st, assigned, _enc = _batch_step_impl(
-                    _sq(state), row_ls, row_n, row_cent, row_pk, row_pop,
-                    thr, tol, criterion=criterion, block=block,
-                    max_rounds=max_rounds, use_pallas=use_pallas,
-                    narrow=narrow,
-                )
-                return _ex(st), assigned[None]
-
-            return jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(), P()),
-                out_specs=(P(ax), P(ax)),
-                check_vma=False,
-            )(state, dev_fps, start, n_valid, missing, threshold, tolerance)
-
-        self.__dict__["_retry_jit"] = retry
-        return retry
 
     @property
     def _buffer_window_program(self):
-        try:
-            return self.__dict__["_buffer_window_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-        use_pallas = self.use_pallas_search
-
-        @partial(
-            jax.jit,
-            static_argnames=(
-                "m", "criterion", "block", "max_rounds", "narrow",
-                "split_k", "fanout",
-            ),
-            donate_argnums=(0,),
+        return _buffer_window_program_for(
+            self.mesh, self.axis_name, self.use_pallas_search
         )
-        def buffer_window(
-            state, row_ls, row_n, missing, threshold, tolerance, *, m,
-            criterion, block, max_rounds, narrow, split_k, fanout,
-        ):
-            r"""One batch of pre-aggregated CF rows per device (the
-            sharded twin of ``BatchTree.insert_buffers``'s step)."""
-
-            def body(state, ls, n, miss, thr, tol):
-                # ls/n shard to (m, F)/(m,) blocks; miss keeps a leading
-                # device axis of 1 (it is a (D, m) host mask)
-                n_eff = jnp.where(miss[0], n, 0)
-                cent = majority_centroid_from_sums(
-                    ls, jnp.maximum(n_eff, 1)
-                )
-                row_pk = pack_fingerprints_device(cent)
-                row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
-                st, assigned, enc = _batch_step_impl(
-                    _sq(state), ls, n_eff, cent.astype(jnp.bfloat16),
-                    row_pk, row_pop, thr, tol, criterion=criterion,
-                    block=block, max_rounds=max_rounds,
-                    use_pallas=use_pallas, narrow=narrow,
-                )
-                st, _ = _split_topk_impl(st, k=split_k, fanout=fanout)
-                return _ex(st), assigned[None], enc[None]
-
-            return jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
-                out_specs=(P(ax), P(ax), P(ax)),
-                check_vma=False,
-            )(state, row_ls, row_n, missing, threshold, tolerance)
-
-        self.__dict__["_buffer_window_jit"] = buffer_window
-        return buffer_window
 
     @property
     def _split_program(self):
-        try:
-            return self.__dict__["_split_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-
-        @partial(
-            jax.jit, static_argnames=("k", "fanout"), donate_argnums=(0,)
-        )
-        def split(state, *, k, fanout):
-            def body(state):
-                st, n_left = _split_topk_impl(_sq(state), k=k, fanout=fanout)
-                return _ex(st), n_left[None]
-
-            return jax.shard_map(
-                body, mesh=mesh, in_specs=(P(ax),),
-                out_specs=(P(ax), P(ax)), check_vma=False,
-            )(state)
-
-        self.__dict__["_split_jit"] = split
-        return split
+        return _split_program_for(self.mesh, self.axis_name)
 
     @property
     def _exchange_program(self):
-        try:
-            return self.__dict__["_exchange_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-        n_dev = self.n_devices
-
-        @partial(jax.jit, static_argnames=("stride",))
-        def exchange(state, *, stride):
-            perm = [
-                (s, s - stride)
-                for s in range(n_dev)
-                if s % (2 * stride) == stride
-            ]
-
-            def body(state):
-                return _ex(jax.tree.map(
-                    lambda x: lax.ppermute(x, ax, perm), _sq(state)
-                ))
-
-            return jax.shard_map(
-                body, mesh=mesh, in_specs=(P(ax),), out_specs=P(ax),
-                check_vma=False,
-            )(state)
-
-        self.__dict__["_exchange_jit"] = exchange
-        return exchange
+        return _exchange_program_for(self.mesh, self.axis_name)
 
     @property
     def _merge_program(self):
-        try:
-            return self.__dict__["_merge_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-
-        @partial(
-            jax.jit,
-            static_argnames=(
-                "m_b", "criterion", "block", "max_rounds",
-                "split_k", "fanout",
-            ),
-            donate_argnums=(0,),
-        )
-        def merge(
-            state, recv, stride, gate, threshold, tolerance, *, m_b,
-            criterion, block, max_rounds, split_k, fanout,
-        ):
-            # stride is TRACED (it only feeds the is_recv predicate, never a
-            # shape): the reduction's log2(D) rounds all reuse ONE compiled
-            # program — this body is by far the most expensive compile in
-            # the package (tens of minutes on a 1-core CPU host), so one
-            # program vs log2(D) is the difference between a usable and an
-            # unusable cold test suite
-            def body(state, recv, strd, gt, thr, tol):
-                idx = lax.axis_index(ax)
-                is_recv = (idx % (2 * strd)) == 0
-                st, amap = _merge_into_impl(
-                    _sq(state), _sq(recv), is_recv, gt, thr, tol,
-                    m_b=m_b, criterion=criterion, block=block,
-                    max_rounds=max_rounds, split_k=split_k, fanout=fanout,
-                )
-                return _ex(st), amap[None]
-
-            return jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(), P(), P(), P()),
-                out_specs=(P(ax), P(ax)), check_vma=False,
-            )(state, recv, stride, gate, threshold, tolerance)
-
-        self.__dict__["_merge_jit"] = merge
-        return merge
+        return _merge_program_for(self.mesh, self.axis_name)
 
     @property
     def _merge_retry_program(self):
-        try:
-            return self.__dict__["_merge_retry_jit"]
-        except KeyError:
-            pass
-        mesh, ax = self.mesh, self.axis_name
-
-        @partial(
-            jax.jit,
-            static_argnames=(
-                "m_b", "criterion", "block", "max_rounds", "split_k",
-                "fanout",
-            ),
-            donate_argnums=(0, 2),
-        )
-        def merge_retry(
-            state, recv, amap, threshold, tolerance, *, m_b, criterion,
-            block, max_rounds, split_k, fanout,
-        ):
-            def body(state, recv, amap, thr, tol):
-                st, recv_, amap_ = _sq(state), _sq(recv), _sq(amap)
-                # recv keeps its pre-growth capacity after the state grew
-                # mid-merge; every mask/map here is recv-sized
-                rc = recv_.n.shape[0]
-                ciota = lax.broadcasted_iota(jnp.int32, (rc, 1), 0)[:, 0]
-                ins = (ciota < recv_.num) & (recv_.n > 0) & (amap_ < 0)
-                st, amap_ = _insert_slots_impl(
-                    st, recv_, ins, amap_, thr, tol, m_b=m_b,
-                    criterion=criterion, block=block, max_rounds=max_rounds,
-                    split_k=split_k, fanout=fanout,
-                )
-                return _ex(st), amap_[None]
-
-            return jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(ax), P(), P()),
-                out_specs=(P(ax), P(ax)), check_vma=False,
-            )(state, recv, amap, threshold, tolerance)
-
-        self.__dict__["_merge_retry_jit"] = merge_retry
-        return merge_retry
+        return _merge_retry_program_for(self.mesh, self.axis_name)
 
     # -- fit -----------------------------------------------------------------
+
+    def warm_programs(self, packed_fps: "np.ndarray | None" = None) -> None:
+        r"""Execute this forest's hot programs once with mass-less inputs.
+
+        The sharded twin of ``BatchTree.warm_programs``: runs
+        ``max(2, pipeline_depth)`` zero-valid scan windows through this
+        forest's OWN state buffers, so a fresh forest pays its per-tree HBM
+        allocation + donation churn here instead of inside a timed fit.
+        The executables themselves are shared across forests via the
+        module-level program cache; what this warms is the buffer chain.
+        When ``packed_fps`` is given and fits the resident budget, the
+        RESIDENT window program is warmed at the exact ``(n_w, window,
+        F8)`` shape the fit will use (jit specializes on the buffer
+        shape); otherwise the streamed window program is warmed.  The
+        retry program (rare path) is warmed with an all-false missing
+        mask.  All calls are mass-less (zero valid rows), so the forest
+        state is unchanged.
+        """
+        m, k, d = self.batch_size, self.scan_batches, self.n_devices
+        window = d * k * m
+        zero_valids = jax.device_put(np.zeros(d, np.int32), self._sharding)
+        thr = jnp.float32(self.threshold)
+        tol = jnp.float32(self.tolerance)
+        common = dict(
+            k=k, m=m, n_features=self.n_features,
+            criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds, narrow=m // 4,
+            split_k=self.split_k, fanout=self.fanout,
+        )
+        resident = None
+        if (
+            packed_fps is not None
+            and len(packed_fps) * self.n_bytes <= self.resident_input_bytes
+        ):
+            n_w = max(1, -(-len(packed_fps) // window))
+            resident = jnp.zeros(
+                (n_w, window, self.n_bytes), jnp.uint8,
+                device=NamedSharding(self.mesh, P(None, self.axis_name)),
+            )
+        dev_buf = jnp.zeros(
+            (window, self.n_bytes), jnp.uint8, device=self._sharding
+        )
+        for _ in range(max(2, self.pipeline_depth)):
+            if resident is not None:
+                self.state, _a, _e = self._fit_resident_program(
+                    self.state, resident, jnp.int32(0), zero_valids,
+                    thr, tol, **common,
+                )
+            else:
+                self.state, _a, _e = self._fit_window_program(
+                    self.state, dev_buf, zero_valids, thr, tol, **common,
+                )
+        # Rare-path retry program: all-false missing mask => mass-less
+        no_miss = jax.device_put(
+            np.zeros((d, m), bool), self._sharding
+        )
+        zeros_i = jax.device_put(np.zeros(d, np.int32), self._sharding)
+        self.state, _a = self._retry_program(
+            self.state, dev_buf, zeros_i, zero_valids, no_miss, thr, tol,
+            m=m, n_features=self.n_features,
+            criterion=self.merge_criterion, block=self.route_block,
+            max_rounds=self.max_rounds, narrow=m // 4,
+        )
+        jax.block_until_ready(self.state.n)
 
     def fit_packed(
         self,
@@ -838,14 +986,15 @@ class ShardedForest:
 
         Inputs that fit ``resident_input_bytes`` (or arrive as device
         arrays) are uploaded ONCE as a window-major resident buffer and
-        sliced on device per window (opt-in; see the constructor note —
-        the standalone slice dispatch measures SLOWER than streaming on a
-        v5e).  Otherwise (``packed_fps`` may be a memmap) rows stream one
-        ``D * scan_batches * batch_size`` window at a time (plus one window
-        of prefetch), so host RSS is bounded by the window size, not the
-        input.  Rows are assigned to devices in contiguous per-window
-        blocks; labels compose at :meth:`merge`.  ``mol_indices`` defaults
-        to sequential ids continuing from the rows already inserted
+        sliced at a traced offset INSIDE the scan program (the default;
+        see the constructor note).  Otherwise (``packed_fps`` may be a
+        memmap) rows stream one ``D * scan_batches * batch_size`` window
+        at a time (plus one window of prefetch), so host RSS is bounded by
+        the window size, not the input.  Row-to-device assignment and
+        batch composition are identical on both paths, so labels are too.
+        Rows are assigned to devices in contiguous per-window blocks;
+        labels compose at :meth:`merge`.  ``mol_indices`` defaults to
+        sequential ids continuing from the rows already inserted
         (refinement passes the exploded rows' original ids).
         """
         if self._merged:
@@ -870,6 +1019,11 @@ class ShardedForest:
             ) if not isinstance(mol_indices, np.ndarray) else np.asarray(
                 mol_indices, dtype=np.int64
             )
+            if len(mol_arr) != num:
+                raise ValueError(
+                    f"mol_indices has {len(mol_arr)} entries for {num} "
+                    "packed rows — ids would misalign with their rows"
+                )
         if num:
             self._n_mols = max(self._n_mols, int(mol_arr.max()) + 1)
 
@@ -911,9 +1065,7 @@ class ShardedForest:
                 (stop - start) - win_d * np.arange(d), 0, win_d
             ).astype(np.int32)
             if resident is not None:
-                dev_buf = _slice_window(  # device-local slice
-                    resident, jnp.int32(start // window)
-                )
+                dev_buf = None  # sliced at a traced offset IN the scan
             else:
                 chunk = np.asarray(packed_fps[start:stop])
                 if stop - start < window:
@@ -926,15 +1078,23 @@ class ShardedForest:
             return dev_buf, valids, mols.reshape(d, win_d)
 
         next_up = upload(0)
-        for start in range(0, num, window):
+        for wi, start in enumerate(range(0, num, window)):
             dev_buf, valids, mols = next_up
             next_up = upload(start + window)  # async prefetch
-            self._submit_window(dev_buf, valids, mols)
+            self._submit_window(
+                dev_buf, valids, mols, resident=resident, w=wi
+            )
         self._total_rows += num
         self.flush()
 
     def _submit_window(
-        self, dev_buf: Array, valids: np.ndarray, mols: np.ndarray
+        self,
+        dev_buf: "Array | None",
+        valids: np.ndarray,
+        mols: np.ndarray,
+        *,
+        resident: "Array | None" = None,
+        w: int = -1,
     ) -> None:
         m, k = self.batch_size, self.scan_batches
         # p_incoming=0: pool allocations are guarded in-step (see
@@ -942,15 +1102,26 @@ class ShardedForest:
         self._ensure_capacity(
             k * m, g_incoming=self._scan_g_headroom(), p_incoming=0
         )
-        self.state, assigned, encs = self._fit_window_program(
-            self.state, dev_buf,
-            jax.device_put(valids, self._sharding),
-            jnp.float32(self.threshold), jnp.float32(self.tolerance),
-            k=k, m=m, n_features=self.n_features,
-            criterion=self.merge_criterion, block=self.route_block,
-            max_rounds=self.max_rounds, narrow=m // 4,
-            split_k=self.split_k, fanout=self.fanout,
-        )
+        if resident is not None:
+            self.state, assigned, encs = self._fit_resident_program(
+                self.state, resident, jnp.int32(w),
+                jax.device_put(valids, self._sharding),
+                jnp.float32(self.threshold), jnp.float32(self.tolerance),
+                k=k, m=m, n_features=self.n_features,
+                criterion=self.merge_criterion, block=self.route_block,
+                max_rounds=self.max_rounds, narrow=m // 4,
+                split_k=self.split_k, fanout=self.fanout,
+            )
+        else:
+            self.state, assigned, encs = self._fit_window_program(
+                self.state, dev_buf,
+                jax.device_put(valids, self._sharding),
+                jnp.float32(self.threshold), jnp.float32(self.tolerance),
+                k=k, m=m, n_features=self.n_features,
+                criterion=self.merge_criterion, block=self.route_block,
+                max_rounds=self.max_rounds, narrow=m // 4,
+                split_k=self.split_k, fanout=self.fanout,
+            )
         n_valid = int(valids.max(initial=0))
         self._num_upper += n_valid
         # _ls_upper intentionally not advanced: the in-step pool guard
@@ -970,7 +1141,11 @@ class ShardedForest:
             {
                 "kind": "fps",
                 "win_idx": len(self._windows) - 1,
+                # Resident windows carry (resident, w) instead of a window
+                # buffer; the rare retry path materializes the slice lazily
                 "dev_fps": dev_buf,
+                "resident": resident,
+                "w": w,
                 "valids": valids,
                 "enc_cols": k,
                 # Submit-time sync payload: pulling it at the boundary
@@ -1174,6 +1349,9 @@ class ShardedForest:
         m, k = self.batch_size, self.scan_batches
         win = self._windows[q["win_idx"]]
         assigned_dev, valids = win["assigned"], win["valids"]
+        dev_fps = q["dev_fps"]
+        if dev_fps is None:  # resident window: materialize the slice now
+            dev_fps = _slice_window(q["resident"], jnp.int32(q["w"]))
         final = np.array(np.asarray(assigned_dev))  # (D, k*m)
         valid_rows = (
             np.arange(k * m)[None, :] < valids[:, None]
@@ -1191,7 +1369,7 @@ class ShardedForest:
                 starts = np.full(d, i * m, np.int32)
                 nv = np.clip(valids - i * m, 0, m).astype(np.int32)
                 self.state, assigned = self._retry_program(
-                    self.state, q["dev_fps"],
+                    self.state, dev_fps,
                     jax.device_put(starts, self._sharding),
                     jax.device_put(nv, self._sharding),
                     jax.device_put(missing, self._sharding),
@@ -1412,14 +1590,28 @@ class ShardedForest:
         threshold: float | None = None,
         merge_criterion: str | None = None,
         tolerance: float | None = None,
+        merge_threshold_change: float | None = None,
     ) -> None:
         r"""Clear the forest (all devices), optionally re-parameterized.
         Molecule-id space is preserved so refinement labels stay addressed
-        by the original input rows."""
+        by the original input rows.
+
+        ``merge_threshold_change`` replaces the stored fit->merge threshold
+        delta.  Refinement passes 0.0 together with an already-shifted
+        ``threshold`` so the reduction rounds run at the SAME refined
+        threshold as the fit (the reference applies ``set_merge(refine,
+        thresh + change)`` uniformly, ``bblean/cli.py``); without it the
+        stored delta would be applied on top of the shifted threshold —
+        twice in total."""
         self.flush()
+        if merge_threshold_change is not None:
+            self._merge_threshold_change = merge_threshold_change
         if threshold is not None:
             self.threshold = threshold
-            self.merge_threshold = threshold + self._merge_threshold_change
+        if threshold is not None or merge_threshold_change is not None:
+            self.merge_threshold = (
+                self.threshold + self._merge_threshold_change
+            )
         if merge_criterion is not None:
             self.merge_criterion = merge_criterion
             self.merge_criterion_merge = merge_criterion
@@ -1444,6 +1636,7 @@ class ShardedForest:
         threshold: float | None = None,
         merge_criterion: str | None = None,
         tolerance: float | None = None,
+        merge_threshold_change: float | None = None,
     ) -> "ShardedForest":
         r"""Explode the ``n_largest`` merged clusters into singletons and
         re-fit over the mesh.
@@ -1480,6 +1673,7 @@ class ShardedForest:
             threshold=threshold,
             merge_criterion=merge_criterion,
             tolerance=tolerance,
+            merge_threshold_change=merge_threshold_change,
         )
         if len(buffers):
             self.insert_buffers(buffers, buffer_mols)
@@ -1532,19 +1726,11 @@ class ShardedForest:
         reconstructed from the sparse pool in device chunks."""
         self.merge()
         ncl = self.num_clusters
-
-        @partial(jax.jit, static_argnames=("chunk", "n_features"))
-        def chunk0(state, start, *, chunk, n_features):
-            return _reconstruct_ls_chunk(
-                jax.tree.map(lambda x: x[0], state), start, chunk,
-                n_features,
-            )
-
         out = np.empty((ncl, self.n_features), np.int32)
         chunk = 1 << 15
         for start in range(0, ncl, chunk):
             size = min(chunk, ncl - start)
-            rows = chunk0(
+            rows = _ls_chunk0(
                 self.state, jnp.int32(start), chunk=chunk,
                 n_features=self.n_features,
             )

