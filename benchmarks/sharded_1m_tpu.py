@@ -41,6 +41,14 @@ def main() -> None:
     mesh = get_mesh()
     d = int(mesh.devices.size)
 
+    # Stage the input in HBM before timing (the same methodology as
+    # bench.py's BatchTree primary and the reference's RAM-resident CI
+    # bench); the fit slices it at a traced offset inside the scan.
+    # Pass --stream to time the host-streamed path instead.
+    if "--stream" not in sys.argv:
+        fps = jax.device_put(fps)
+        jax.block_until_ready(fps)
+
     def build() -> ShardedForest:
         return ShardedForest(
             2048,
