@@ -721,6 +721,7 @@ class ShardedForest:
         use_pallas_search: bool = False,
         pipeline_depth: int = 3,
         resident_input_bytes: int = 4 << 30,
+        stage_windows: int = 8,
         axis_name: str = "dp",
     ) -> None:
         if fanout is None:
@@ -769,6 +770,14 @@ class ShardedForest:
         # cost (86k vs 141k fps/s at 1M t=0.3 on a v5e).  Inputs past the
         # budget stream window-by-window with one window of prefetch.
         self.resident_input_bytes = resident_input_bytes
+        # Past the resident budget, inputs stage in chunks of
+        # `stage_windows` windows: one bulk device_put per chunk builds a
+        # mini window-major resident buffer, sliced at a traced offset
+        # in-program (same program family as the resident path).  The
+        # per-window staging this replaces serialized every upload against
+        # the scan dispatches (the ~40% streamed-path cost BatchTree
+        # measured at 10M t=0.65).
+        self.stage_windows = max(1, stage_windows)
         self.split_k = 64
 
         self.capacity = _next_pow2(
@@ -947,14 +956,19 @@ class ShardedForest:
             split_k=self.split_k, fanout=self.fanout,
         )
         resident = None
-        if packed_fps is not None and (
-            isinstance(packed_fps, jax.Array)
-            or len(packed_fps) * self.n_bytes <= self.resident_input_bytes
-        ):
-            # Match fit_packed's resident window count exactly (jit
-            # specializes on the buffer shape): the input pads on device
-            # up to a whole number of windows
+        if packed_fps is not None:
             n_w = -(-len(packed_fps) // window)
+            if isinstance(packed_fps, jax.Array) or (
+                len(packed_fps) * self.n_bytes <= self.resident_input_bytes
+            ):
+                # Resident fit: match its window count exactly (jit
+                # specializes on the buffer shape; the input pads on
+                # device up to a whole number of windows)
+                pass
+            else:
+                # Streamed fit: chunks of `stage_windows` windows run the
+                # same resident program family at the chunk shape
+                n_w = 1 if n_w <= 1 else self.stage_windows
             if n_w:
                 resident = jnp.zeros(
                     (n_w, window, self.n_bytes), jnp.uint8,
@@ -1073,10 +1087,8 @@ class ShardedForest:
                 NamedSharding(self.mesh, P(None, self.axis_name)),
             )
 
-        def upload(start: int):
+        def meta(start: int):
             stop = min(start + window, num)
-            if stop <= start:
-                return None, None, None
             mols = mol_arr[start:stop]
             if stop - start < window:
                 mols = np.pad(
@@ -1085,27 +1097,63 @@ class ShardedForest:
             valids = np.clip(
                 (stop - start) - win_d * np.arange(d), 0, win_d
             ).astype(np.int32)
-            if start // window < n_res:
-                dev_buf = None  # sliced at a traced offset IN the scan
-            else:
-                chunk = np.asarray(packed_fps[start:stop])
-                if stop - start < window:
-                    chunk = np.pad(
-                        chunk, ((0, window - (stop - start)), (0, 0))
-                    )
-                dev_buf = jax.device_put(
-                    np.ascontiguousarray(chunk), self._sharding
-                )
-            return dev_buf, valids, mols.reshape(d, win_d)
+            return valids, mols.reshape(d, win_d)
 
-        next_up = upload(0)
-        for wi, start in enumerate(range(0, num, window)):
-            dev_buf, valids, mols = next_up
-            next_up = upload(start + window)  # async prefetch
-            self._submit_window(
-                dev_buf, valids, mols,
-                resident=resident if wi < n_res else None, w=wi,
-            )
+        if resident is not None:
+            for wi, start in enumerate(range(0, num, window)):
+                valids, mols = meta(start)
+                self._submit_window(
+                    None, valids, mols, resident=resident, w=wi
+                )
+        elif num:
+            # Chunked streamed staging: each chunk is a mini window-major
+            # resident buffer of `stage_windows` windows, uploaded with ONE
+            # bulk device_put and sliced at a traced offset in-program
+            # (same program family as the resident path, keyed on the
+            # chunk's window count).  Only the final partial chunk pays a
+            # host pad copy; full chunks transfer straight from the input
+            # (which may be a memmap — host RSS stays bounded by the chunk).
+            # Exactly two chunk shapes (jit specializes on the buffer):
+            # single-window inputs keep the one-window buffer, larger
+            # inputs use the full stage_windows chunk (a short final chunk
+            # transfers some zero padding — far cheaper than a per-size
+            # program compile)
+            n_windows = -(-num // window)
+            cw = 1 if n_windows <= 1 else self.stage_windows
+            chunk_rows = cw * window
+
+            def upload_chunk(cstart: int):
+                stop = min(cstart + chunk_rows, num)
+                if stop <= cstart:
+                    return None
+                chunk = np.asarray(packed_fps[cstart:stop])
+                if stop - cstart < chunk_rows:
+                    chunk = np.pad(
+                        chunk, ((0, chunk_rows - (stop - cstart)), (0, 0))
+                    )
+                return jax.device_put(
+                    np.ascontiguousarray(chunk).reshape(
+                        cw, window, self.n_bytes
+                    ),
+                    NamedSharding(self.mesh, P(None, self.axis_name)),
+                )
+
+            cur = upload_chunk(0)
+            nxt = None
+            for wi, start in enumerate(range(0, num, window)):
+                coff = wi % cw
+                if wi and coff == 0:
+                    cur = nxt if nxt is not None else upload_chunk(start)
+                    nxt = None
+                valids, mols = meta(start)
+                self._submit_window(
+                    None, valids, mols, resident=cur, w=coff
+                )
+                if nxt is None:
+                    # Prefetch the next chunk right after the current
+                    # chunk's first window dispatches: the transfer
+                    # overlaps the in-flight windows' compute
+                    nxt = upload_chunk((wi // cw + 1) * chunk_rows)
         self._total_rows += num
         self.flush()
 

@@ -21,7 +21,11 @@ bookkeeping and boundary-sync cost of the steady engine):
 Cluster counts are bit-identical across engine revisions (same seed =>
 same labels); only the wall time moves.
 
-Usage: python benchmarks/scale_10m.py [n_millions] [threshold]
+Usage: python benchmarks/scale_10m.py [n_millions] [threshold] [streamed]
+
+Pass ``streamed`` as the third argument to force the host-streamed input
+path even when the input would fit HBM — this measures the configuration
+that carries inputs past ~12M rows (the reference's 100M+ design scale).
 
 Fingerprints stream from host batch-by-batch (one-ahead overlap), so the
 input array never occupies HBM; with `threshold >= 0.5` the sparse
@@ -56,6 +60,7 @@ SEED = 12620509540149709235
 def main() -> None:
     n_m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.65
+    force_streamed = "streamed" in sys.argv[3:]
     n = n_m * 1_000_000
 
     t0 = time.perf_counter()
@@ -88,9 +93,11 @@ def main() -> None:
     # against the scan dispatches.  At 10M the t=0.65 tables (~10 GiB) +
     # 2.56 GiB of input still fit a 16 GiB chip; past ~12M rows the input
     # streams (the 20M line below).
-    if threshold < 0.5 or fps.nbytes <= 3.0e9:
+    if not force_streamed and (threshold < 0.5 or fps.nbytes <= 3.0e9):
         fps = jax.device_put(np.asarray(fps))
         jax.block_until_ready(fps)
+    elif force_streamed:
+        print("input: host-streamed (forced)")
 
     # Warm-up: compile every program at the final table shapes, including
     # the rare retry/flush programs (warm_programs), so a first-execution
@@ -106,7 +113,11 @@ def main() -> None:
         warm_rows = fps  # timed run slices the resident array itself
         small = fps[: 1 << 16]  # device slice; no host round-trip
     else:
-        warm_rows = jax.device_put(np.ascontiguousarray(fps[:window]))
+        # Streamed fits stage chunks of stage_windows windows; warm at
+        # exactly that buffer shape (jit specializes on it)
+        n_w = -(-len(fps) // window)
+        chunk_rows = (1 if n_w <= 1 else warm.stage_windows) * window
+        warm_rows = jax.device_put(np.ascontiguousarray(fps[:chunk_rows]))
         small = warm_rows[: 1 << 16]
     warm.fit_packed(small, range(1 << 16))
     warm.warm_programs(warm_rows)

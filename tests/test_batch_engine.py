@@ -400,3 +400,31 @@ def test_predict_packed_empty_and_partial_batch() -> None:
     assert slots.shape == (7,)
     assert (slots >= 0).all()
     assert (sims > 0.2).all()  # each query has a nearby cluster
+
+
+def test_chunked_host_staging_matches_device_resident() -> None:
+    r"""Host inputs stage in chunks of ``stage_windows`` windows (one bulk
+    device_put each, sliced at a traced offset in-program); device inputs
+    slice the resident array directly.  Window/batch composition is the
+    same on both paths, so clusters must be IDENTICAL — the invariant the
+    streamed >HBM path relies on (reference analogue: mmap streaming fit,
+    /root/reference/bblean/_memory.py:73-126, which also never changes
+    insertion order)."""
+    import jax
+
+    packed = make_fake_fingerprints(2500, seed=SEED)  # packed by default
+
+    def fit(inp):
+        tree = BatchTree(
+            2048, threshold=0.3, batch_size=64, route_block=64,
+            initial_capacity=2048, stage_windows=2,
+        )
+        tree.fit_packed(inp, range(len(packed)))
+        return tree
+
+    # window = 16*64 = 1024 rows -> 3 windows, 2-window chunks: the host
+    # path spans a full chunk + a padded partial chunk
+    host_tree = fit(packed)
+    dev_tree = fit(jax.device_put(packed))
+    assert host_tree.num_clusters == dev_tree.num_clusters
+    assert host_tree.cluster_mols() == dev_tree.cluster_mols()

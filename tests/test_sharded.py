@@ -346,3 +346,31 @@ def test_pipeline_depth_invariant(fps) -> None:
         forest.merge()
         results.append(forest.labels())
     assert (results[0] == results[1]).all()
+
+
+def test_streamed_chunked_matches_resident() -> None:
+    r"""A forest past its resident-input budget streams chunks of
+    ``stage_windows`` windows (one bulk device_put per chunk, sliced at a
+    traced offset in-program).  Row-to-device assignment and batch
+    composition match the resident path exactly, so labels must be
+    IDENTICAL — the invariant that lets >HBM inputs (the reference's
+    100M+ design scale) run the same algorithm."""
+    from bblean_tpu.parallel import ShardedForest
+
+    packed = make_fake_fingerprints(2500, seed=SEED)
+
+    def fit(**kw):
+        mesh = get_mesh(4)
+        forest = ShardedForest(
+            2048, mesh, threshold=0.3, batch_size=128, route_block=128,
+            scan_batches=2, stage_windows=2, **kw,
+        )
+        forest.fit_packed(packed)
+        forest.merge()
+        return forest.labels()
+
+    # window = 4*2*128 = 1024 rows -> 3 windows; resident holds all 3,
+    # streamed runs 2-window chunks (one full chunk + a padded partial)
+    resident = fit()
+    streamed = fit(resident_input_bytes=0)
+    assert (resident == streamed).all()
