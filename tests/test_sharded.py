@@ -87,8 +87,16 @@ def test_cohesion_invariant_after_merge(res8) -> None:
 
 
 def test_parallel_vs_single_device(res8, res1) -> None:
-    r"""8-device and 1-device sharded fits agree on cluster statistics."""
-    assert abs(res8.num_clusters - res1.num_clusters) <= 0.1 * res1.num_clusters + 5
+    r"""8-device and 1-device sharded fits agree on cluster statistics.
+
+    Counts are pinned per-seed: the determinism tests prove run-to-run
+    stability on this (CPU) backend, so the exact values are stable and a
+    band would hide quality regressions (round-4 VERDICT weak #2).  A count
+    change here means the engine's label structure moved — re-derive the
+    goldens only alongside an intentional algorithm change.
+    """
+    assert res8.num_clusters == 589
+    assert res1.num_clusters == 587
     # Total mass conserved in both
     assert res8.sizes.sum() == res1.sizes.sum() == 600
 
@@ -128,8 +136,14 @@ def test_sharded_matches_serial_quality(fps, res8_t03) -> None:
     )
     tree.insert_fps(fps, range(len(fps)))
     n_batch = tree.num_clusters
-    assert abs(n_batch - n_serial) <= 0.20 * n_serial + 3
-    assert abs(res8.num_clusters - n_serial) <= 0.20 * n_serial + 3
+    # Pinned per-seed goldens (determinism tests prove stability on this
+    # CPU backend; exact counts replace the old +-20% band so a quality
+    # regression cannot hide inside it).  serial=256 is the exact-engine
+    # anchor; batch=278 slightly over-fragments (singleton insertion),
+    # sharded=254 slightly over-merges (whole-CF-buffer merge rounds).
+    assert n_serial == 256
+    assert n_batch == 278
+    assert res8.num_clusters == 254
     # Cohesion parity: sample-weighted mean cluster iSIM within 2%
     w8 = _weighted_isim(res8.linear_sums, res8.sizes)
     w1 = _weighted_isim(tree.linear_sums(), tree.cluster_sizes())
