@@ -6,7 +6,7 @@ for TPU hardware.  The CF-tree is flattened to **depth 2** and stored as flat
 device tables:
 
 - **groups** (the analogue of internal-node entries): a routing table of
-  group majority centroids ``(G, F) bf16`` searched with one MXU matmul per
+  group majority centroids ``(G, F) int8`` searched with one MXU matmul per
   round, plus group CF aggregates;
 - **clusters** (the leaf subclusters): a flat count table ``n (C,)`` plus a
   **sparse linear-sum pool** — only multi-member clusters own an
@@ -76,6 +76,12 @@ __all__ = ["BatchTree", "BatchState"]
 
 _NEG = -2.0  # below any similarity
 
+# Routing/row centroids are EXACTLY 0/1 valued (majority votes or raw
+# fingerprint bits), so int8 matmuls with int32 accumulation are value-
+# identical to the bf16 path while running the MXU at twice the rate
+# (measured 12.0 -> 8.8 ms per 8192-row route at 43k live groups)
+_CENT_DT = jnp.int8
+
 _SORTED_SEARCH_OK: bool | None = None
 
 
@@ -119,7 +125,7 @@ class BatchState(tp.NamedTuple):
     # Groups (routing level)
     g_ls: Array  # (G_cap, F) int32
     g_n: Array  # (G_cap,) int32 samples under the group
-    g_cent: Array  # (G_cap, F) bfloat16 routing centroids
+    g_cent: Array  # (G_cap, F) int8 routing centroids (0/1 values)
     g_pops: Array  # (G_cap,) int32
     g_count: Array  # (G_cap,) int32 clusters in the group
     g_num: Array  # () int32 live groups
@@ -148,7 +154,7 @@ def _init_state(
         t_slot=jnp.full((g_capacity, tile), -1, dtype=jnp.int32),
         g_ls=jnp.zeros((g_capacity, n_features), dtype=jnp.int32),
         g_n=jnp.zeros((g_capacity,), dtype=jnp.int32),
-        g_cent=jnp.zeros((g_capacity, n_features), dtype=jnp.bfloat16),
+        g_cent=jnp.zeros((g_capacity, n_features), dtype=_CENT_DT),
         g_pops=jnp.zeros((g_capacity,), dtype=jnp.int32),
         g_count=jnp.zeros((g_capacity,), dtype=jnp.int32),
         g_num=jnp.ones((), dtype=jnp.int32),  # group 0 exists (empty root)
@@ -195,9 +201,9 @@ def _grow_state(
 
 
 def _route_groups(
-    row_cent: Array,  # (M, F) bf16
+    row_cent: Array,  # (M, F) int8 (0/1 values)
     row_pop: Array,  # (M,) int32
-    g_cent: Array,  # (G_cap, F) bf16
+    g_cent: Array,  # (G_cap, F) int8 (0/1 values)
     g_pops: Array,  # (G_cap,) int32
     g_num: Array,  # ()
     pending: Array,  # (M,) bool
@@ -219,8 +225,8 @@ def _route_groups(
         pb = lax.dynamic_slice_in_dim(g_pops, start, block, axis=0)
         inter = lax.dot_general(
             row_cent, cb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
         union = (row_pop[:, None] + pb[None, :]).astype(jnp.float32) - inter
         sims = inter / jnp.maximum(union, 1.0)
         cols = start + lax.broadcasted_iota(jnp.int32, (m, block), 1)
@@ -511,8 +517,8 @@ def _insert_round(
             rcent = jnp.where(rejected[:, None], row_cent, 0)
             rsims = lax.dot_general(
                 rcent, rcent, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
             rpop = jnp.where(rejected, row_pop, 0)
             runion = rpop[:, None] + rpop[None, :] - rsims
             rsims = rsims / jnp.maximum(runion, 1.0)
@@ -752,7 +758,7 @@ def _batch_step_impl(
     state: BatchState,
     row_ls: Array,  # (M, F) int32
     row_n: Array,  # (M,) int32 (0 rows are padding)
-    row_cent: Array,  # (M, F) bf16 (0/1 values)
+    row_cent: Array,  # (M, F) int8 (0/1 values)
     row_pk: Array,  # (M, F8) uint8 packed centroid
     row_pop: Array,  # (M,) int32
     threshold: Array,  # () f32
@@ -794,8 +800,8 @@ def _batch_step_impl(
     if criterion != "never-merge":
         row_sims = lax.dot_general(
             row_cent, row_cent, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
         union = (row_pop[:, None] + row_pop[None, :]).astype(
             jnp.float32
         ) - row_sims
@@ -943,7 +949,7 @@ def _refresh_touched(
     groups_s = jnp.where(ok_sorted, groups[gorder], 0)
     g_cents = majority_centroid_from_sums(
         state.g_ls[groups_s], jnp.maximum(state.g_n[groups_s], 1)
-    ).astype(jnp.bfloat16)
+    ).astype(_CENT_DT)
     g_cent = state.g_cent.at[g_idx].set(
         g_cents, mode="drop", unique_indices=True
     )
@@ -1150,7 +1156,7 @@ def _split_groups_device_impl(
         t_slot=dset(state.t_slot, new_t_slot.reshape(2 * k, tile)),
         g_ls=dset(state.g_ls, pair_ls),
         g_n=dset(state.g_n, pair_n),
-        g_cent=dset(state.g_cent, pair_cent.astype(jnp.bfloat16)),
+        g_cent=dset(state.g_cent, pair_cent.astype(_CENT_DT)),
         g_pops=dset(state.g_pops, jnp.sum(pair_cent.astype(jnp.int32), -1)),
         g_count=dset(state.g_count, pair_counts),
         g_num=state.g_num + jnp.sum(active.astype(jnp.int32)),
@@ -1271,7 +1277,7 @@ def _slice_prep_fp_rows_impl(
     bits = unpack_fingerprints_device(packed, n_features)
     row_ls = jnp.where(valid[:, None], bits.astype(jnp.int32), 0)
     row_n = valid.astype(jnp.int32)
-    row_cent = row_ls.astype(jnp.bfloat16)
+    row_cent = row_ls.astype(_CENT_DT)
     row_pk = jnp.where(valid[:, None], packed, 0)
     row_pop = jnp.sum(row_ls, axis=-1)
     return row_ls, row_n, row_cent, row_pk, row_pop
@@ -1303,7 +1309,7 @@ def _prep_fp_rows(packed: Array, valid: Array, n_features: int):
     bits = unpack_fingerprints_device(packed, n_features)
     row_ls = bits.astype(jnp.int32)
     row_n = valid.astype(jnp.int32)
-    row_cent = bits.astype(jnp.bfloat16)
+    row_cent = bits.astype(_CENT_DT)
     row_pop = jnp.sum(row_ls, axis=-1)
     return row_ls, row_n, row_cent, packed, row_pop
 
@@ -1314,7 +1320,7 @@ def _prep_buffer_rows(row_ls: Array, row_n: Array):
     cent = majority_centroid_from_sums(row_ls, jnp.maximum(row_n, 1))
     row_pk = pack_fingerprints_device(cent)
     row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
-    return row_ls, row_n, cent.astype(jnp.bfloat16), row_pk, row_pop
+    return row_ls, row_n, cent.astype(_CENT_DT), row_pk, row_pop
 
 
 @functools.partial(
@@ -1340,7 +1346,7 @@ def _predict_step(
     ~5% to XLA's fused gather, which is why fitting keeps it opt-in.
     """
     bits = unpack_fingerprints_device(packed, n_features)
-    row_cent = bits.astype(jnp.bfloat16)
+    row_cent = bits.astype(_CENT_DT)
     row_pop = jnp.sum(bits.astype(jnp.int32), axis=-1)
     row_group = _route_groups(
         row_cent, row_pop, state.g_cent, state.g_pops, state.g_num,

@@ -67,6 +67,7 @@ from jax import Array, lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bblean_tpu.engine.batch import (
+    _CENT_DT,
     BatchState,
     _batch_step_impl,
     _cluster_ls_of,
@@ -114,9 +115,9 @@ def _ex(tree):
 
 
 def _best_group_sim(
-    q_cent: Array,  # (Q, F) bf16 query centroids
+    q_cent: Array,  # (Q, F) int8 query centroids (0/1 values)
     q_pops: Array,  # (Q,) int32
-    g_cent: Array,  # (G_cap, F) bf16
+    g_cent: Array,  # (G_cap, F) int8 (0/1 values)
     g_pops: Array,  # (G_cap,) int32
     g_num: Array,  # ()
     block: int,
@@ -134,8 +135,8 @@ def _best_group_sim(
         pb = lax.dynamic_slice_in_dim(g_pops, start, block, axis=0)
         inter = lax.dot_general(
             q_cent, cb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
         union = (q_pops[:, None] + pb[None, :]).astype(jnp.float32) - inter
         sims = inter / jnp.maximum(union, 1.0)
         cols = start + lax.broadcasted_iota(jnp.int32, (q, block), 1)
@@ -194,7 +195,7 @@ def _insert_slots_impl(
         row_pk = pack_fingerprints_device(cent)
         row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
         state, assigned, _enc = _batch_step_impl(
-            state, row_ls, row_n, cent.astype(jnp.bfloat16), row_pk,
+            state, row_ls, row_n, cent.astype(_CENT_DT), row_pk,
             row_pop, threshold, tolerance, criterion=criterion,
             block=block, max_rounds=max_rounds, narrow=m_b // 4,
         )
@@ -510,7 +511,7 @@ def _buffer_window_program_for(mesh: Mesh, ax: str, use_pallas: bool):
             row_pk = pack_fingerprints_device(cent)
             row_pop = jnp.sum(cent.astype(jnp.int32), axis=-1)
             st, assigned, enc = _batch_step_impl(
-                _sq(state), ls, n_eff, cent.astype(jnp.bfloat16),
+                _sq(state), ls, n_eff, cent.astype(_CENT_DT),
                 row_pk, row_pop, thr, tol, criterion=criterion,
                 block=block, max_rounds=max_rounds,
                 use_pallas=use_pallas, narrow=narrow,

@@ -52,14 +52,18 @@ def main() -> None:
         out = route(
             row_cent, row_pop, g_cent, g_pops, g_num, pending, block=block
         )
-        jax.block_until_ready(out)
+        # np.asarray, not block_until_ready: through the axon tunnel
+        # block_until_ready returns before device execution completes, so
+        # only a readback of the LAST output (device programs execute in
+        # dispatch order on one stream) is a true barrier
+        _ = np.asarray(out)
         n_rep = 10
         t0 = time.perf_counter()
         for _ in range(n_rep):
             out = route(
                 row_cent, row_pop, g_cent, g_pops, g_num, pending, block=block
             )
-        jax.block_until_ready(out)
+        _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / n_rep
         flops = 2.0 * M * g_live * F
         print(
